@@ -1,0 +1,294 @@
+"""Typed configuration for the whole framework.
+
+Replaces the reference's three-layer config stack (argparse CLI +
+`cfgs/diffusion.yml` + mmcv python-file model configs consumed through a
+registry — see reference `util/opts.py:5-105`, `cfgs/visual.py`,
+`cfgs/audio_visual.py`, `model.py:7-9`) with plain frozen dataclasses.
+Every knob of the reference, with the same defaults, is represented here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DataTransformConfig:
+    """Pixel-space transform knobs (reference `cfgs/diffusion.yml:1-8`,
+    `datasets/__init__.py:8-35`)."""
+
+    image_size: int = 224
+    width: int = 384
+    channels: int = 1
+    logit_transform: bool = False
+    uniform_dequantization: bool = False
+    gaussian_dequantization: bool = True
+    rescaled: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionConfig:
+    """Forward-process definition (reference `cfgs/diffusion.yml:24-28`)."""
+
+    beta_schedule: str = "cosine"
+    beta_start: float = 0.0001
+    beta_end: float = 0.02
+    num_diffusion_timesteps: int = 1000
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Training-loss switches (reference `cfgs/diffusion.yml:39-51`).
+
+    Default config is MSE-only: `(pred - gt)^2.sum((1,2,3)).mean()`
+    (reference `models/sal_losses.py:189-192`)."""
+
+    loss_kl: bool = False
+    kl_weight: float = 1.0
+    loss_mse: bool = True
+    mse_weight: float = 1.0
+    loss_ce: bool = False
+    ce_weight: float = 1.0
+    loss_cc: bool = False
+    cc_weight: float = -0.1
+    loss_sim: bool = False
+    sim_weight: float = -0.1
+    loss_nss: bool = False
+    nss_weight: float = -0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """Adam + MultiStepLR recipe (reference `cfgs/diffusion.yml:53-60`,
+    `util/utils.py:116-123`)."""
+
+    optimizer: str = "adam"
+    lr: float = 1e-4
+    beta1: float = 0.9
+    weight_decay: float = 0.0
+    eps: float = 1e-8
+    amsgrad: bool = False
+    grad_clip: float = 1.0
+    # MultiStepLR milestones are fractions of total epochs: [0.5E, 0.75E], gamma 0.1
+    milestone_fracs: Tuple[float, ...] = (0.5, 0.75)
+    gamma: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainingConfig:
+    """Training-loop knobs (reference `cfgs/diffusion.yml:30-37`)."""
+
+    batch_size: int = 48
+    n_epochs: int = 3
+    n_epochs_for_av_data: int = 4
+    snapshot_freq: int = 5000
+    validation_freq: int = 10000
+    log_freq: int = 200
+    training_target: str = "x0"  # "x0" | "noise"
+    # Reference quirk: one shared scalar t per batch
+    # (diffusion_trainer.py:111-114). Set False for per-sample t (improvement).
+    shared_timestep_per_batch: bool = True
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    """Inference sampler knobs (reference `cfgs/diffusion.yml:63-77`)."""
+
+    batch_size: int = 2
+    last_only: bool = True
+    skip_type: str = "logSNR"  # logSNR | time_uniform | time_quadratic
+    sample_type: str = "ddim"  # ddim | ddpm | dpmsolver | dpmsolver++
+    timesteps: int = 1
+    dpm_solver_order: int = 2
+    denoise: bool = True
+    dpm_solver_method: str = "multistep"  # multistep | singlestep
+    dpm_solver_type: str = "dpmsolver"
+    dpm_solver_atol: float = 0.0078
+    dpm_solver_rtol: float = 0.05
+    lower_order_final: bool = False
+    thresholding: bool = False
+    eta: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MViTConfig:
+    """MViTv2 video encoder (reference `models/mvit.py:795-1152`,
+    built from `cfgs/visual.py:27-31` with arch='small')."""
+
+    arch: str = "small"
+    embed_dims: int = 96
+    num_layers: int = 16
+    num_heads: int = 1
+    downscale_indices: Tuple[int, ...] = (1, 3, 14)
+    spatial_size: Tuple[int, int] = (224, 384)
+    temporal_size: int = 16
+    in_channels: int = 3
+    out_scales: Tuple[int, ...] = (0, 1, 2, 3)
+    drop_path_rate: float = 0.0
+    pool_kernel: Tuple[int, int, int] = (3, 3, 3)
+    dim_mul: int = 2
+    head_mul: int = 2
+    adaptive_kv_stride: Tuple[int, int, int] = (1, 8, 8)
+    rel_pos_embed: bool = True
+    residual_pooling: bool = True
+    dim_mul_in_attention: bool = True
+    with_cls_token: bool = True
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    # rel-pos table sizes are computed from this training-time resolution
+    # (reference hardcodes PatchEmbed3D(input_size=(16, 224, 224)), mvit.py:989-996)
+    rel_pos_spatial_size: int = 224
+
+    @classmethod
+    def small(cls, **kw) -> "MViTConfig":
+        return cls(arch="small", num_layers=16, downscale_indices=(1, 3, 14), **kw)
+
+    @classmethod
+    def tiny(cls, **kw) -> "MViTConfig":
+        return cls(arch="tiny", num_layers=10, downscale_indices=(1, 3, 8), **kw)
+
+    @classmethod
+    def base(cls, **kw) -> "MViTConfig":
+        return cls(arch="base", num_layers=24, downscale_indices=(2, 5, 21), **kw)
+
+    @classmethod
+    def large(cls, **kw) -> "MViTConfig":
+        return cls(
+            arch="large",
+            embed_dims=144,
+            num_layers=48,
+            num_heads=2,
+            downscale_indices=(2, 8, 44),
+            **kw,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioAttnConfig:
+    """AudioAttnNet transformer over audio tokens
+    (reference `cfgs/audio_visual.py:34-48`, `models/audio_attention.py:93-143`).
+
+    Note the reference's patch-embedding + temporal pos-embedding results are
+    discarded (audio_attention.py:132-139); the effective compute is a 1-layer
+    pre-norm transformer over the raw 512-d features — that is what we build."""
+
+    dim: int = 512
+    depth: int = 1
+    heads: int = 2
+    dim_head: int = 64
+    mlp_dim: int = 256
+    dropout: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class VGGishConfig:
+    """VGGish audio encoder conv stack (reference `models/vggish.py:96-128`)."""
+
+    layers: Tuple = (64, "M", 128, "M", 256, 256, "M", 512, 512, "M")
+    in_channels: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class SalUNetConfig:
+    """Saliency-UNet diffusion decoder
+    (reference `cfgs/audio_visual.py:50-82`, `models/saliency_decoder/sal_unet.py`)."""
+
+    img_size: Tuple[int, int] = (224, 384)
+    frames_len: int = 1
+    image_based: bool = True
+    in_index: Tuple[int, ...] = (0, 1, 2, 3)
+    idx_to_planes: Tuple[int, ...] = (96, 192, 384, 768)
+    mid_num_stages: int = 4
+    temporal_size: int = 9
+    temporal_list: Tuple[int, ...] = (5, 5, 5, 5)
+    ori_embed_dim: int = 768
+    down_embed_dim: int = 96
+    patch_size: Tuple[int, ...] = (0, 3, 3, 3)
+    patch_stride: Tuple[int, ...] = (0, 1, 1, 1)
+    patch_padding: Tuple[int, ...] = (0, 2, 2, 2)
+    up_channel: Tuple[int, ...] = (768, 384, 192, 96)
+    num_heads: Tuple[int, ...] = (2, 2, 2, 2)
+    mlp_ratio: Tuple[float, ...] = (2.0, 2.0, 2.0, 2.0)
+    drop_path_rate: Tuple[float, ...] = (0.15, 0.15, 0.15, 0.15)
+    qkv_bias: Tuple[bool, ...] = (True, True, True, True)
+    kernel_kv: Tuple[int, ...] = (2, 4, 8, 16)
+    padding_kv: Tuple[int, ...] = (0, 0, 0, 0)
+    stride_kv: Tuple[int, ...] = (2, 4, 8, 16)
+    kernel_q: Tuple[int, ...] = (3, 3, 3, 3)
+    padding_q: Tuple[int, ...] = (1, 1, 1, 1)
+    stride_q: Tuple[int, ...] = (1, 1, 1, 1)
+    audio_dim: int = 512
+    # noise-encoder channels (reference sal_unet.py:228-259)
+    noise_ch: int = 96
+    dropout: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Top-level VideoSaliencyModel composition (reference
+    `models/diff_model.py:8-114`, `cfgs/visual.py` vs `cfgs/audio_visual.py`)."""
+
+    channel_list: Tuple[int, ...] = (768, 384, 192, 96)
+    visual: Optional[MViTConfig] = dataclasses.field(default_factory=MViTConfig.small)
+    audio: Optional[VGGishConfig] = None
+    spatiotemp: Optional[AudioAttnConfig] = None
+    decoder: SalUNetConfig = dataclasses.field(default_factory=SalUNetConfig)
+    # compute dtype for the heavy math; params always live in float32
+    compute_dtype: str = "float32"
+
+    @classmethod
+    def visual_only(cls, **kw) -> "ModelConfig":
+        """The DHF1k visual pretrain model (cfgs/visual.py)."""
+        return cls(visual=MViTConfig.small(), audio=None, spatiotemp=None, **kw)
+
+    @classmethod
+    def audio_visual(cls, **kw) -> "ModelConfig":
+        """The 6-dataset AV fine-tune model (cfgs/audio_visual.py)."""
+        return cls(
+            visual=MViTConfig.small(),
+            audio=VGGishConfig(),
+            spatiotemp=AudioAttnConfig(),
+            **kw,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh / parallelism layout.
+
+    The reference implements exactly one strategy — data parallelism via DDP
+    over NCCL (reference `train_dhf1k.py:38-61`, `model.py:13-15`). We map it
+    to a `jax.sharding.Mesh` with a 'data' axis; gradients all-reduce via XLA
+    `psum` over ICI. A 'model' axis is provisioned for tensor-parallel
+    extensions."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    num_data: int = -1  # -1 => all devices
+    num_model: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    """Everything needed for one run."""
+
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig.visual_only)
+    data_transform: DataTransformConfig = dataclasses.field(
+        default_factory=DataTransformConfig
+    )
+    diffusion: DiffusionConfig = dataclasses.field(default_factory=DiffusionConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    training: TrainingConfig = dataclasses.field(default_factory=TrainingConfig)
+    sampling: SamplingConfig = dataclasses.field(default_factory=SamplingConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+def visual_experiment(**kw) -> ExperimentConfig:
+    return ExperimentConfig(model=ModelConfig.visual_only(), **kw)
+
+
+def audio_visual_experiment(**kw) -> ExperimentConfig:
+    return ExperimentConfig(model=ModelConfig.audio_visual(), **kw)

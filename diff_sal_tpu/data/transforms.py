@@ -1,0 +1,40 @@
+"""Pixel-space transforms applied to saliency maps before/after diffusion.
+
+Mirrors reference `datasets/__init__.py:8-35`. Under the default config only
+Gaussian dequantization (`x + 0.01 * N(0,1)`) is active on the way in, and
+clamp-to-[0,1] on the way out. Jittable; randomness is explicit via a PRNG key.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from diff_sal_tpu.config import DataTransformConfig
+
+
+def logit_transform(x: jnp.ndarray, lam: float = 1e-6) -> jnp.ndarray:
+    x = lam + (1 - 2 * lam) * x
+    return jnp.log(x) - jnp.log1p(-x)
+
+
+def data_transform(
+    cfg: DataTransformConfig, x: jnp.ndarray, rng: jax.Array
+) -> jnp.ndarray:
+    if cfg.uniform_dequantization:
+        x = x / 256.0 * 255.0 + jax.random.uniform(rng, x.shape, x.dtype) / 256.0
+    if cfg.gaussian_dequantization:
+        x = x + jax.random.normal(rng, x.shape, x.dtype) * 0.01
+    if cfg.rescaled:
+        x = 2 * x - 1.0
+    elif cfg.logit_transform:
+        x = logit_transform(x)
+    return x
+
+
+def inverse_data_transform(cfg: DataTransformConfig, x: jnp.ndarray) -> jnp.ndarray:
+    if cfg.logit_transform:
+        x = jax.nn.sigmoid(x)
+    elif cfg.rescaled:
+        x = (x + 1.0) / 2.0
+    return jnp.clip(x, 0.0, 1.0)
