@@ -1,0 +1,139 @@
+"""Shared building blocks (flax.linen, channel-last layouts).
+
+Covers the reference's small blocks: sinusoidal timestep embedding
+(`models/saliency_decoder/sal_unet.py:15-33`), MLPs
+(`common_block.py:125-147`, `mvit.py:404-440`), conv+BN+ReLU
+(`common_block.py:33-36`), MLPHead (`common_block.py:111-122`),
+DropPath (timm), GroupNorm-swish conv blocks. All convs operate on
+channel-last arrays — the TPU-native layout.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# torch nn.GELU default is the exact erf formulation; jax defaults to tanh
+# approximation, so pin approximate=False everywhere.
+gelu_exact = lambda x: jax.nn.gelu(x, approximate=False)  # noqa: E731
+
+# N(0, 0.01) — the SalUNet init override (reference sal_unet.py:263-277).
+salunet_init = nn.initializers.normal(stddev=0.01)
+# timm trunc_normal_(std=0.02) — ViT-style init.
+vit_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, fairseq/DDPM convention
+    (reference sal_unet.py:15-33): freq_i = exp(-ln(10000) * i / (half-1)),
+    output [sin | cos], zero-padded if dim is odd."""
+    assert t.ndim == 1
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / (half - 1)
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def drop_path(
+    x: jnp.ndarray, rate: float, deterministic: bool, rng: Optional[jax.Array]
+) -> jnp.ndarray:
+    """Stochastic depth on the leading (batch) axis, timm semantics."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep + jax.random.uniform(rng, shape, x.dtype))
+    return x / keep * mask
+
+
+class DropPath(nn.Module):
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        rng = None
+        if not deterministic and self.rate > 0.0:
+            rng = self.make_rng("dropout")
+        return drop_path(x, self.rate, deterministic, rng)
+
+
+class Mlp(nn.Module):
+    """Linear -> act -> Linear (+dropout) on the trailing feature axis."""
+
+    hidden_features: int
+    out_features: Optional[int] = None
+    act: Callable = gelu_exact
+    dropout: float = 0.0
+    kernel_init: Callable = salunet_init
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        out_features = self.out_features or x.shape[-1]
+        x = nn.Dense(self.hidden_features, kernel_init=self.kernel_init, name="fc1")(x)
+        x = self.act(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(out_features, kernel_init=self.kernel_init, name="fc2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class ConvBNRelu(nn.Module):
+    """3x3 conv + BatchNorm + ReLU (reference common_block.py:33-36)."""
+
+    features: int
+    kernel_init: Callable = salunet_init
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features, (3, 3), padding=1, kernel_init=self.kernel_init, name="conv"
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+        )(x)
+        return nn.relu(x)
+
+
+class MLPHead(nn.Module):
+    """1x1 conv + sigmoid head (reference common_block.py:111-122)."""
+
+    num_classes: int = 1
+    kernel_init: Callable = salunet_init
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.num_classes, (1, 1), kernel_init=self.kernel_init, name="linear_pred"
+        )(x)
+        return jax.nn.sigmoid(x)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm(32, eps=1e-6) matching the DDPM `Normalize`
+    (reference sal_unet.py:41-44)."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=self.epsilon, name="gn"
+        )(x)
+
+
+class LayerNorm(nn.Module):
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=self.epsilon)(x)

@@ -1,0 +1,354 @@
+"""MViTv2 spatio-temporal video encoder, TPU-native (flax.linen).
+
+Re-implements the behavior of the reference encoder (`models/mvit.py`,
+MViTv2-small by default): 3D patch embed (k=(3,7,7), s=(2,4,4)), 16
+multi-scale blocks with pooled multi-head attention, decomposed (T,H,W)
+relative position embeddings, channel/head doubling and spatial 2x
+query-pooling at the downscale layers, and a 4-scale output pyramid returned
+coarsest-first.
+
+TPU-first design choices:
+  * channel-last token layout throughout; pooling convs are depthwise 3D
+    convs on (B*heads, T, H, W, C_head) blocks,
+  * all shapes static per config — the rel-pos interpolation + gather is a
+    precomputed matmul/take (see diff_sal_tpu.ops.rel_pos),
+  * attention runs as one batched einsum per block; the cls token rides along
+    row/column 0 exactly as in the reference.
+
+Shape trace for rgb (B, 16, 224, 384, 3):
+  patch embed -> tokens (B, 1 + 8*56*96, 96)
+  pyramid out  -> [(B,8,7,12,768), (B,8,14,24,384), (B,8,28,48,192),
+                   (B,8,56,96,96)]   (coarse first, reference mvit.py:1152)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diff_sal_tpu.config import MViTConfig
+from diff_sal_tpu.models.layers import Mlp, gelu_exact, vit_init
+from diff_sal_tpu.ops.rel_pos import add_decomposed_rel_pos
+
+
+def _pool_out_size(size: Tuple[int, int, int], stride: Tuple[int, int, int]):
+    # conv k=3, pad 1, stride s: out = floor((n + 2 - 3)/s) + 1 == ceil-free
+    return tuple((n + 2 - 3) // s + 1 for n, s in zip(size, stride))
+
+
+class PatchEmbed3D(nn.Module):
+    """Conv3d video-to-token embed (reference mvit.py:124-247), k=(3,7,7),
+    s=(2,4,4), pad=(1,3,3). Input (B, T, H, W, 3) -> (B, T'·H'·W', C)."""
+
+    embed_dims: int = 96
+    kernel_size: Tuple[int, int, int] = (3, 7, 7)
+    stride: Tuple[int, int, int] = (2, 4, 4)
+    padding: Tuple[int, int, int] = (1, 3, 3)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        x = nn.Conv(
+            self.embed_dims,
+            self.kernel_size,
+            strides=self.stride,
+            padding=[(p, p) for p in self.padding],
+            kernel_init=vit_init,
+            name="projection",
+        )(x)
+        out_size = x.shape[1:4]
+        return x.reshape(x.shape[0], -1, self.embed_dims), out_size
+
+
+class AttentionPool(nn.Module):
+    """Depthwise Conv3d pooling + LayerNorm applied per attention head
+    (reference `attention_pool` + `build_pooling`, mvit.py:443-575).
+
+    Operates on (B, heads, L, C_head) token blocks; cls token bypasses the
+    pool and is re-attached in front.
+    """
+
+    stride: Tuple[int, int, int]
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    with_cls_token: bool = True
+    with_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, in_size: Tuple[int, int, int]):
+        B, H, L, C = x.shape
+        T, Hh, Ww = in_size
+        cls = None
+        if self.with_cls_token:
+            cls, x = x[:, :, :1], x[:, :, 1:]
+        x = x.reshape(B * H, T, Hh, Ww, C)
+        x = nn.Conv(
+            C,
+            self.kernel,
+            strides=self.stride,
+            padding=[(k // 2, k // 2) for k in self.kernel],
+            feature_group_count=C,
+            use_bias=False,
+            kernel_init=vit_init,
+            name="pool",
+        )(x)
+        out_size = x.shape[1:4]
+        x = x.reshape(B, H, -1, C)
+        if cls is not None:
+            x = jnp.concatenate([cls, x], axis=2)
+        if self.with_norm:
+            x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        return x, out_size
+
+
+class MaxPoolSkip(nn.Module):
+    """MaxPool3d on the residual path when the query is strided
+    (reference mvit.py:748-763): kernel = stride+1 (where stride>1), padding
+    kernel//2, ceil_mode=False."""
+
+    stride: Tuple[int, int, int]
+    with_cls_token: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, in_size: Tuple[int, int, int]):
+        B, L, C = x.shape
+        T, Hh, Ww = in_size
+        cls = None
+        if self.with_cls_token:
+            cls, x = x[:, :1], x[:, 1:]
+        x = x.reshape(B, T, Hh, Ww, C)
+        kernel = tuple(s + 1 if s > 1 else s for s in self.stride)
+        padding = tuple(k // 2 for k in kernel)
+        x = nn.max_pool(
+            x,
+            window_shape=kernel,
+            strides=self.stride,
+            padding=[(p, p) for p in padding],
+        )
+        x = x.reshape(B, -1, C)
+        if cls is not None:
+            x = jnp.concatenate([cls, x], axis=1)
+        return x
+
+
+class MultiScaleAttention(nn.Module):
+    """Pooled multi-head attention with decomposed rel-pos
+    (reference mvit.py:497-650)."""
+
+    out_dims: int
+    num_heads: int
+    stride_q: Tuple[int, int, int]
+    stride_kv: Tuple[int, int, int]
+    pool_kernel: Tuple[int, int, int] = (3, 3, 3)
+    qkv_bias: bool = True
+    rel_pos_embed: bool = True
+    residual_pooling: bool = True
+    with_cls_token: bool = True
+    rel_pos_dims: Tuple[int, int] = (15, 111)  # (t_table_len, hw_table_len)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, in_size: Tuple[int, int, int]):
+        B, N, _ = x.shape
+        head_dim = self.out_dims // self.num_heads
+
+        qkv = nn.Dense(
+            self.out_dims * 3, use_bias=self.qkv_bias, kernel_init=vit_init,
+            name="qkv",
+        )(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, N, heads, hd)
+        q, k, v = (jnp.swapaxes(a, 1, 2) for a in (q, k, v))  # (B, heads, N, hd)
+
+        q, q_shape = AttentionPool(
+            self.stride_q, self.pool_kernel, self.with_cls_token, name="pool_q"
+        )(q, in_size)
+        k, k_shape = AttentionPool(
+            self.stride_kv, self.pool_kernel, self.with_cls_token, name="pool_k"
+        )(k, in_size)
+        v, _ = AttentionPool(
+            self.stride_kv, self.pool_kernel, self.with_cls_token, name="pool_v"
+        )(v, in_size)
+
+        scale = head_dim**-0.5
+        attn = jnp.einsum("bhlc,bhtc->bhlt", q * scale, k)
+
+        if self.rel_pos_embed:
+            rel_pos_t = self.param(
+                "rel_pos_t", nn.initializers.zeros, (self.rel_pos_dims[0], head_dim)
+            )
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.zeros, (self.rel_pos_dims[1], head_dim)
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.zeros, (self.rel_pos_dims[1], head_dim)
+            )
+            attn = add_decomposed_rel_pos(
+                attn, q, q_shape, k_shape, rel_pos_t, rel_pos_h, rel_pos_w,
+                self.with_cls_token,
+            )
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhlt,bhtc->bhlc", attn, v)
+
+        if self.residual_pooling:
+            if self.with_cls_token:
+                out = out.at[:, :, 1:].add(q[:, :, 1:])
+            else:
+                out = out + q
+
+        out = jnp.swapaxes(out, 1, 2).reshape(B, -1, self.out_dims)
+        out = nn.Dense(self.out_dims, kernel_init=vit_init, name="proj")(out)
+        return out, q_shape
+
+
+class MultiScaleBlock(nn.Module):
+    """Pre-norm block with pooled attention + MLP, channel expansion in
+    attention, max-pooled residual on strided layers
+    (reference mvit.py:653-792)."""
+
+    in_dims: int
+    out_dims: int
+    num_heads: int
+    stride_q: Tuple[int, int, int]
+    stride_kv: Tuple[int, int, int]
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    pool_kernel: Tuple[int, int, int] = (3, 3, 3)
+    rel_pos_embed: bool = True
+    residual_pooling: bool = True
+    with_cls_token: bool = True
+    rel_pos_dims: Tuple[int, int] = (15, 111)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, in_size: Tuple[int, int, int]):
+        x_norm = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        x_attn, out_size = MultiScaleAttention(
+            out_dims=self.out_dims,
+            num_heads=self.num_heads,
+            stride_q=self.stride_q,
+            stride_kv=self.stride_kv,
+            pool_kernel=self.pool_kernel,
+            qkv_bias=self.qkv_bias,
+            rel_pos_embed=self.rel_pos_embed,
+            residual_pooling=self.residual_pooling,
+            with_cls_token=self.with_cls_token,
+            rel_pos_dims=self.rel_pos_dims,
+            name="attn",
+        )(x_norm, in_size)
+
+        if self.in_dims != self.out_dims:
+            skip = nn.Dense(self.out_dims, kernel_init=vit_init, name="proj")(x_norm)
+        else:
+            skip = x
+        if int(np.prod(self.stride_q)) > 1:
+            skip = MaxPoolSkip(
+                self.stride_q, self.with_cls_token, name="pool_skip"
+            )(skip, in_size)
+
+        x = skip + x_attn
+        x_norm2 = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        x_mlp = Mlp(
+            hidden_features=int(self.out_dims * self.mlp_ratio),
+            out_features=self.out_dims,
+            act=gelu_exact,
+            kernel_init=vit_init,
+            name="mlp",
+        )(x_norm2)
+        return x + x_mlp, out_size
+
+
+def _block_plan(cfg: MViTConfig):
+    """Static per-block plan: dims, heads, strides, token grids and which
+    scale (if any) each block emits. Mirrors the constructor loop in
+    reference mvit.py:1016-1066 — including the persistent kv-stride halving
+    and the train-resolution (224x224) rel-pos table sizing."""
+    downscale = set(cfg.downscale_indices)
+    stage_of_block = {i - 1: s for s, i in enumerate(cfg.downscale_indices)}
+    stage_of_block[cfg.num_layers - 1] = len(cfg.downscale_indices)
+
+    # rel-pos table length uses the 224x224 pretrain grid (56x56 spatial).
+    rel_size = cfg.rel_pos_spatial_size // 4
+
+    plans = []
+    dims = cfg.embed_dims
+    heads = cfg.num_heads
+    stride_kv = list(cfg.adaptive_kv_stride)
+    t0 = cfg.temporal_size // 2
+    size = (t0, cfg.spatial_size[0] // 4, cfg.spatial_size[1] // 4)
+    rel_hw_size = rel_size
+    for i in range(cfg.num_layers):
+        if i in downscale:
+            heads *= cfg.head_mul
+            stride_q = (1, 2, 2)
+            stride_kv = [max(s // 2, 1) for s in stride_kv]
+        else:
+            stride_q = (1, 1, 1)
+        out_dims = dims * cfg.dim_mul if i in downscale else dims
+        # rel-table length: 2*max(size//stride_q, size//stride_kv)-1 at the
+        # square pretrain resolution (reference mvit.py:586)
+        rel_dim = 2 * max(rel_hw_size // stride_q[1], rel_hw_size // stride_kv[1]) - 1
+        rel_t_dim = 2 * (cfg.temporal_size // 2) - 1  # 2*T'-1 with T'=T/2 -> 15
+        plans.append(
+            dict(
+                in_dims=dims,
+                out_dims=out_dims,
+                num_heads=heads,
+                stride_q=stride_q,
+                stride_kv=tuple(stride_kv),
+                in_size=size,
+                rel_pos_dims=(rel_t_dim, rel_dim),
+                emit_scale=stage_of_block.get(i),
+            )
+        )
+        size = tuple(s // st for s, st in zip(size, stride_q))
+        rel_hw_size = rel_hw_size // stride_q[1]
+        dims = out_dims
+    return plans
+
+
+class MViT(nn.Module):
+    """MViTv2 encoder returning the coarse-first 4-scale pyramid
+    (reference mvit.py:795-1152)."""
+
+    cfg: MViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        cfg = self.cfg
+        B = x.shape[0]
+        tokens, size = PatchEmbed3D(cfg.embed_dims, name="patch_embed")(x)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, cfg.embed_dims)
+        )
+        if cfg.with_cls_token:
+            tokens = jnp.concatenate(
+                [jnp.broadcast_to(cls_token, (B, 1, cfg.embed_dims)), tokens], axis=1
+            )
+
+        outs = []
+        for i, plan in enumerate(_block_plan(cfg)):
+            tokens, size = MultiScaleBlock(
+                in_dims=plan["in_dims"],
+                out_dims=plan["out_dims"],
+                num_heads=plan["num_heads"],
+                stride_q=plan["stride_q"],
+                stride_kv=plan["stride_kv"],
+                mlp_ratio=cfg.mlp_ratio,
+                qkv_bias=cfg.qkv_bias,
+                pool_kernel=cfg.pool_kernel,
+                rel_pos_embed=cfg.rel_pos_embed,
+                residual_pooling=cfg.residual_pooling,
+                with_cls_token=cfg.with_cls_token,
+                rel_pos_dims=plan["rel_pos_dims"],
+                name=f"blocks_{i}",
+            )(tokens, size)
+            stage = plan["emit_scale"]
+            if stage is not None and stage in cfg.out_scales:
+                normed = nn.LayerNorm(epsilon=1e-6, name=f"norm{stage}")(tokens)
+                patch = normed[:, 1:] if cfg.with_cls_token else normed
+                T, H, W = size
+                outs.append(patch.reshape(B, T, H, W, -1))
+        return outs[::-1]

@@ -1,0 +1,455 @@
+"""Saliency-UNet diffusion decoder, TPU-native (flax.linen, channel-last).
+
+Re-implements the behavior of the reference decoder stack
+(`models/saliency_decoder/sal_unet.py`, `transformer.py`, `attention.py`,
+`common_block.py`) — noise-pyramid encoder, four CvT-style transformer stages
+with audio-video gated cross-attention, temporal reduction, multi-scale sum,
+and sigmoid head — as pure functional modules over channel-last arrays
+(B, T, H, W, C).
+
+Shape contract (AV config, reference §3.5 of SURVEY.md):
+  x_t (B, 224, 384, 1), t (B,),
+  feat_list  [(B,8,7,12,768), (B,8,14,24,384), (B,8,28,48,192), (B,8,56,96,96)]
+  audio_feat (B, 9, 7, 12, 512) or None
+  -> pred (B, 224, 384, 1) in (0, 1)
+
+Replicated behavioral quirks (see SURVEY.md §8; each is load-bearing for
+checkpoint parity):
+  * attention scale is full-dim**-0.5, not head-dim (attention.py:33)
+  * only stages 1 and 2 receive backbone skip-adds; stage 3 (and the finest
+    video scale back_fea[3]) is never used (transformer.py:265-270)
+  * ReduceTemp kernel/stride 5 over 9 frames keeps frames 0-4 only
+    (common_block.py:150-173 with temporal_list=[5,5,5,5])
+  * the audio-gating reshape mixes (C, T) axes exactly like torch's
+    .view(b*t, h*w, c) on a (b,c,t,h,w) tensor (transformer.py:146)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from diff_sal_tpu.config import SalUNetConfig
+from diff_sal_tpu.models.layers import (
+    ConvBNRelu,
+    DropPath,
+    MLPHead,
+    Mlp,
+    gelu_exact,
+    salunet_init,
+    timestep_embedding,
+)
+from diff_sal_tpu.ops.resize import bilinear_resize, nearest_upsample
+
+
+class TimestepMLP(nn.Module):
+    """temb: sinusoid(ch) -> Dense(4ch) -> swish -> Dense(4ch)
+    (reference sal_unet.py:230-237, 304-307)."""
+
+    ch: int = 96
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        emb = timestep_embedding(t, self.ch)
+        emb = nn.Dense(self.ch * 4, kernel_init=salunet_init, name="dense0")(emb)
+        emb = jax.nn.silu(emb)
+        emb = nn.Dense(self.ch * 4, kernel_init=salunet_init, name="dense1")(emb)
+        return emb
+
+
+class ResnetBlock(nn.Module):
+    """DDPM resnet block with timestep conditioning
+    (reference sal_unet.py:87-142): GN-swish-conv, +temb, GN-swish-drop-conv,
+    1x1 shortcut on channel change."""
+
+    out_channels: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, temb, train: bool = False):
+        in_ch = x.shape[-1]
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm1")(x)
+        h = jax.nn.silu(h)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=1, kernel_init=salunet_init,
+            name="conv1",
+        )(h)
+        h = h + nn.Dense(
+            self.out_channels, kernel_init=salunet_init, name="temb_proj"
+        )(jax.nn.silu(temb))[:, None, None, :]
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm2")(h)
+        h = jax.nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=not train)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=1, kernel_init=salunet_init,
+            name="conv2",
+        )(h)
+        if in_ch != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1), kernel_init=salunet_init,
+                name="nin_shortcut",
+            )(x)
+        return x + h
+
+
+class Downsample(nn.Module):
+    """Conv stride-2 downsample with the DDPM asymmetric (0,1)x(0,1) pad
+    (reference sal_unet.py:47-64)."""
+
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            x.shape[-1],
+            (3, 3),
+            strides=self.stride,
+            padding=((0, 1), (0, 1)),
+            kernel_init=salunet_init,
+            name="conv",
+        )(x)
+
+
+class NoiseEncoder(nn.Module):
+    """x_t -> noisy feature pyramid, coarse-first
+    (reference `noise_downsample`, sal_unet.py:240-300).
+
+    (B,224,384,1) -> [(B,1,7,12,768), (B,1,14,24,384), (B,1,28,48,192)]
+    """
+
+    ch: int = 96
+    out_channels: Sequence[int] = (192, 384, 768)
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, temb, train: bool = False) -> List[jnp.ndarray]:
+        h = nn.Conv(
+            self.ch, (3, 3), padding=1, kernel_init=salunet_init, name="conv_in"
+        )(x)
+        h = Downsample(stride=4, name="down1")(h)
+        outs = []
+        for i, out_c in enumerate(self.out_channels):
+            h = ResnetBlock(out_c, dropout=self.dropout, name=f"res{i}")(
+                h, temb, train=train
+            )
+            h = Downsample(name=f"res_down{i}")(h)
+            outs.append(h[:, None])  # add T=1 axis
+        return outs[::-1]
+
+
+class CvTAttention(nn.Module):
+    """Cross-modal CvT attention (reference `saliency_decoder/attention.py`).
+
+    Depthwise-conv projections with layer-norm; when audio tokens are given,
+    the keys come from audio and queries/values from video — the audio-video
+    fusion core (attention.py:88-95). kv projections stride the spatial grid
+    ((2,4,8,16) per stage) so k/v are always 3x6=18 tokens; q keeps full
+    resolution. The reference's Conv3d projections act on a T=1 grid and
+    reduce exactly to 2D convs (the kernel's t-slices +-1 only see zero pad),
+    which is what we build.
+    """
+
+    num_heads: int
+    kernel_q: int = 3
+    stride_q: int = 1
+    padding_q: int = 1
+    kernel_kv: int = 2
+    stride_kv: int = 2
+    padding_kv: int = 0
+    qkv_bias: bool = True
+
+    def _conv_tokens(self, x_sp, kernel, stride, padding, name):
+        c = x_sp.shape[-1]
+        y = nn.Conv(
+            c,
+            (kernel, kernel),
+            strides=stride,
+            padding=padding,
+            feature_group_count=c,
+            use_bias=False,
+            kernel_init=salunet_init,
+            name=f"conv_proj_{name}",
+        )(x_sp)
+        y = y.reshape(y.shape[0], -1, c)
+        return nn.LayerNorm(name=f"norm_{name}")(y)
+
+    @nn.compact
+    def __call__(
+        self,
+        tokens: jnp.ndarray,  # (Bt, H*W, C)
+        hw: Tuple[int, int],
+        audio_tokens: Optional[jnp.ndarray] = None,  # (Bt, H*W, C)
+    ) -> jnp.ndarray:
+        H, W = hw
+        Bt, _, C = tokens.shape
+        x_sp = tokens.reshape(Bt, H, W, C)
+
+        q = self._conv_tokens(x_sp, self.kernel_q, self.stride_q, self.padding_q, "q")
+        kv_src = (
+            audio_tokens.reshape(Bt, H, W, C) if audio_tokens is not None else x_sp
+        )
+        k = self._conv_tokens(
+            kv_src, self.kernel_kv, self.stride_kv, self.padding_kv, "k"
+        )
+        v = self._conv_tokens(
+            x_sp, self.kernel_kv, self.stride_kv, self.padding_kv, "v"
+        )
+
+        dense = lambda n: nn.Dense(  # noqa: E731
+            C, use_bias=self.qkv_bias, kernel_init=salunet_init, name=n
+        )
+        hd = C // self.num_heads
+        q = dense("proj_q")(q).reshape(Bt, -1, self.num_heads, hd)
+        k = dense("proj_k")(k).reshape(Bt, -1, self.num_heads, hd)
+        v = dense("proj_v")(v).reshape(Bt, -1, self.num_heads, hd)
+
+        # Reference quirk: scale by full dim, not head dim (attention.py:33).
+        scale = C**-0.5
+        attn = jnp.einsum("blhd,bthd->bhlt", q, k) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhlt,bthd->blhd", attn, v).reshape(Bt, -1, C)
+        return nn.Dense(C, kernel_init=salunet_init, name="proj")(out)
+
+
+def _scrambled_audio_tokens(ac: jnp.ndarray) -> jnp.ndarray:
+    """Replicate torch's `(b, c, t, h, w).view(b*t, h*w, c)` on our
+    channel-last audio tensor (B, T, H, W, C) — a deterministic (C, T, H, W)
+    axis mix the released checkpoints were trained with
+    (reference transformer.py:146)."""
+    B, T, H, W, C = ac.shape
+    return jnp.transpose(ac, (0, 4, 1, 2, 3)).reshape(B * T, H * W, C)
+
+
+class TransformerBlock(nn.Module):
+    """Gated audio-video fusion + CvT attention + MLP
+    (reference transformer.py:76-159)."""
+
+    num_heads: int
+    mlp_ratio: float = 2.0
+    drop_path_rate: float = 0.15
+    kernel_kv: int = 2
+    stride_kv: int = 2
+    audio_dim: int = 512
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, T, H, W, C) video frames
+        audio: Optional[jnp.ndarray],  # (B, Ta, ha, wa, audio_dim) or None
+        train: bool = False,
+    ) -> jnp.ndarray:
+        B, T, H, W, C = x.shape
+        frames = x.reshape(B * T, H, W, C)
+
+        audio_tokens = None
+        if audio is not None:
+            ac = nn.Conv(
+                C, (1, 1), kernel_init=salunet_init, name="align_conv"
+            )(audio)  # (B, Ta, ha, wa, C)
+            ha, wa = ac.shape[2], ac.shape[3]
+            if ha != H and wa != W:
+                ac = nearest_upsample(ac, H // ha, h_axis=2, w_axis=3)
+            # av gate: mean over time of (audio*video), softmax over W
+            # (reference transformer.py:141-145)
+            av = jnp.mean(ac * x, axis=1, keepdims=True)  # (B,1,H,W,C)
+            av = jax.nn.softmax(av, axis=3)
+            ac = ac * av
+            audio_tokens = _scrambled_audio_tokens(ac)
+
+        tokens = frames.reshape(B * T, H * W, C)
+        attn_in = nn.LayerNorm(name="norm")(tokens)
+        attn_out = CvTAttention(
+            num_heads=self.num_heads,
+            kernel_kv=self.kernel_kv,
+            stride_kv=self.stride_kv,
+            name="attn",
+        )(attn_in, (H, W), audio_tokens)
+        tokens = attn_out + tokens
+
+        mlp_out = Mlp(
+            hidden_features=int(C * self.mlp_ratio), name="mlp"
+        )(nn.LayerNorm(name="norm2")(tokens), deterministic=not train)
+        tokens = tokens + DropPath(self.drop_path_rate, name="drop_path")(
+            mlp_out, deterministic=not train
+        )
+        return tokens.reshape(B, T, H, W, C)
+
+
+class UpEmbed(nn.Module):
+    """2x bilinear upsample + two dilated 3x3 conv-BN-ReLU, per frame
+    (reference common_block.py:176-223, up_or_down='up')."""
+
+    embed_dim: int
+    patch_size: int = 3
+    dilation: int = 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        B, T, H, W, C = x.shape
+        frames = x.reshape(B * T, H, W, C)
+        frames = bilinear_resize(frames, (H * 2, W * 2))
+        for i in range(2):
+            frames = nn.Conv(
+                self.embed_dim,
+                (self.patch_size, self.patch_size),
+                padding=self.dilation,
+                kernel_dilation=self.dilation,
+                use_bias=False,
+                kernel_init=salunet_init,
+                name=f"conv{i}",
+            )(frames)
+            frames = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                name=f"bn{i}",
+            )(frames)
+            frames = nn.relu(frames)
+        return frames.reshape(B, T, H * 2, W * 2, self.embed_dim)
+
+
+class ReduceTemp(nn.Module):
+    """Temporal collapse: conv kernel/stride (temporal_dim,1,1), no bias, ReLU
+    (reference common_block.py:150-173). With temporal_dim=5 over 9 frames the
+    valid window keeps frames 0-4 only — replicated."""
+
+    embed_dim: int = 768
+    temporal_dim: int = 5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.Conv(
+            self.embed_dim,
+            (self.temporal_dim, 1, 1),
+            strides=(self.temporal_dim, 1, 1),
+            padding="VALID",
+            use_bias=False,
+            kernel_init=salunet_init,
+            name="conv",
+        )(x)
+        return nn.relu(y)
+
+
+class TransformerStage(nn.Module):
+    """One decoder stage (reference transformer.py:162-289): optional UpEmbed
+    with backbone skip-add (stages 1, 2 only), then a TransformerBlock."""
+
+    stage_idx: int
+    embed_dim: int
+    num_heads: int
+    mlp_ratio: float
+    drop_path_rate: float
+    kernel_kv: int
+    stride_kv: int
+    has_patch_embed: bool
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        back_fea: Sequence[jnp.ndarray],
+        audio: Optional[jnp.ndarray],
+        train: bool = False,
+    ) -> jnp.ndarray:
+        if self.has_patch_embed:
+            x = UpEmbed(self.embed_dim, name="patch_embed")(x, train=train)
+            # Reference adds backbone skips for stage 1 and 2 only
+            # (transformer.py:265-270) — stage 3 gets none, so back_fea[3]
+            # is dead. Stage 0 has no patch_embed at all.
+            if self.stage_idx in (1, 2):
+                x = x + back_fea[self.stage_idx]
+        x = TransformerBlock(
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            drop_path_rate=self.drop_path_rate,
+            kernel_kv=self.kernel_kv,
+            stride_kv=self.stride_kv,
+            name="block",
+        )(x, audio, train=train)
+        return x
+
+
+class Decoder(nn.Module):
+    """Multi-scale up path (reference sal_unet.py:331-491): 4 stages walking
+    the pyramid coarse->fine; each stage's output is LayerNormed, temporally
+    reduced to one frame at 768 channels, bilinearly upsampled to
+    (112, 192) and summed; final conv-BN-ReLU to 96 channels."""
+
+    cfg: SalUNetConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        back_fea: Sequence[jnp.ndarray],
+        audio: Optional[jnp.ndarray],
+        train: bool = False,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        x = back_fea[0]
+        B = x.shape[0]
+        h, w = x.shape[2], x.shape[3]
+        n = cfg.mid_num_stages
+        th, tw = h * 2 ** (n - 1) * 2, w * 2 ** (n - 1) * 2
+
+        acc = 0.0
+        for i in range(n):
+            x = TransformerStage(
+                stage_idx=i,
+                embed_dim=cfg.up_channel[i],
+                num_heads=cfg.num_heads[i],
+                mlp_ratio=cfg.mlp_ratio[i],
+                drop_path_rate=cfg.drop_path_rate[i],
+                kernel_kv=cfg.kernel_kv[i],
+                stride_kv=cfg.stride_kv[i],
+                has_patch_embed=cfg.patch_size[i] > 0,
+                name=f"stage{i}",
+            )(x, back_fea, audio, train=train)
+
+            normed = nn.LayerNorm(name=f"norm_mt{i}")(x)
+            task = ReduceTemp(
+                embed_dim=cfg.ori_embed_dim,
+                temporal_dim=cfg.temporal_list[i],
+                name=f"redu_chan{i}",
+            )(normed)
+            task = task[:, 0]  # (B, h_i, w_i, 768)
+            acc = acc + bilinear_resize(task, (th, tw))
+
+        return ConvBNRelu(cfg.down_embed_dim, name="mt_proj")(acc, train=train)
+
+
+class SalUNet(nn.Module):
+    """Full denoiser f(x_t, t, vis_feats, audio_feats) -> x0_hat
+    (reference sal_unet.py:145-328)."""
+
+    cfg: SalUNetConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, H, W, 1)
+        t: jnp.ndarray,  # (B,)
+        feat_list: Sequence[jnp.ndarray],  # coarse-first video pyramid
+        audio_feat: Optional[jnp.ndarray] = None,  # (B, 9, 7, 12, 512)
+        train: bool = False,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        temb = TimestepMLP(ch=cfg.noise_ch, name="temb")(t)
+        noisy = NoiseEncoder(
+            ch=cfg.noise_ch,
+            out_channels=tuple(reversed(cfg.up_channel[:-1])),
+            dropout=cfg.dropout,
+            name="noise_encoder",
+        )(x, temb, train=train)
+
+        feats = list(feat_list)
+        if cfg.image_based:
+            for i in range(min(len(noisy), len(feats))):
+                if feats[i].shape[2:4] == noisy[i].shape[2:4]:
+                    feats[i] = jnp.concatenate(
+                        [feats[i], noisy[i].astype(feats[i].dtype)], axis=1
+                    )
+
+        pred = Decoder(cfg, name="decoder")(feats, audio_feat, train=train)
+        pred = MLPHead(1, name="logits")(pred)
+        return bilinear_resize(pred, cfg.img_size)

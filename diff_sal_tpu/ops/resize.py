@@ -1,0 +1,99 @@
+"""Static-shape image resizing for TPU.
+
+Because every resize in the model has static input/output shapes, bilinear
+interpolation is expressed as two small dense matmuls (one per spatial axis)
+with precomputed half-pixel weights. This matches
+`torch.nn.functional.interpolate(mode='bilinear', align_corners=False)`
+exactly for both up- and down-sampling (no antialiasing) and lowers onto the
+MXU instead of gather pipelines. Used by UpEmbed's 2x upsample
+(reference `models/saliency_decoder/common_block.py:196-216`), the per-scale
+decoder upsample (`sal_unet.py:482-484`) and the final head resize
+(`sal_unet.py:325-327`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _linear_weights(in_size: int, out_size: int) -> np.ndarray:
+    """Dense (out, in) interpolation matrix, half-pixel centers, edge clamp.
+
+    out[i] samples input coordinate (i + 0.5) * in/out - 0.5 — identical to
+    PyTorch's align_corners=False bilinear (no antialias).
+    """
+    scale = in_size / out_size
+    coords = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    coords = np.clip(coords, 0.0, in_size - 1)
+    lo = np.floor(coords).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = coords - lo
+    w = np.zeros((out_size, in_size), dtype=np.float32)
+    w[np.arange(out_size), lo] += (1.0 - frac).astype(np.float32)
+    w[np.arange(out_size), hi] += frac.astype(np.float32)
+    return w
+
+
+def bilinear_resize(
+    x: jnp.ndarray, out_hw: tuple, h_axis: int = -3, w_axis: int = -2
+) -> jnp.ndarray:
+    """Bilinear-resize the (H, W) axes of a channel-last array.
+
+    Default layout (..., H, W, C). Works for any rank; dtype is preserved
+    (weights are f32, accumulation in input dtype's promoted type).
+    """
+    out_h, out_w = out_hw
+    h_axis = h_axis % x.ndim
+    w_axis = w_axis % x.ndim
+    in_h, in_w = x.shape[h_axis], x.shape[w_axis]
+    dtype = x.dtype
+    if in_h != out_h:
+        wh = jnp.asarray(_linear_weights(in_h, out_h), dtype=jnp.float32)
+        x = jnp.tensordot(wh, x.astype(jnp.float32), axes=((1,), (h_axis,)))
+        x = jnp.moveaxis(x, 0, h_axis)
+    if in_w != out_w:
+        ww = jnp.asarray(_linear_weights(in_w, out_w), dtype=jnp.float32)
+        x = jnp.tensordot(ww, x.astype(jnp.float32), axes=((1,), (w_axis,)))
+        x = jnp.moveaxis(x, 0, w_axis)
+    return x.astype(dtype)
+
+
+def linear_resize_1d(x: jnp.ndarray, out_size: int, axis: int = 0) -> jnp.ndarray:
+    """1-D linear resize along `axis` (half-pixel, matches torch
+    `interpolate(mode='linear', align_corners=False)`)."""
+    axis = axis % x.ndim
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    w = jnp.asarray(_linear_weights(in_size, out_size), dtype=jnp.float32)
+    y = jnp.tensordot(w, x.astype(jnp.float32), axes=((1,), (axis,)))
+    return jnp.moveaxis(y, 0, axis).astype(x.dtype)
+
+
+def nearest_upsample(
+    x: jnp.ndarray, factor: int, h_axis: int = -3, w_axis: int = -2
+) -> jnp.ndarray:
+    """Integer-factor nearest upsample == repeat (torch `F.upsample` default
+    nearest mode with int scale_factor, used by the audio-gating alignment,
+    reference `models/saliency_decoder/transformer.py:133-136`)."""
+    if factor == 1:
+        return x
+    x = jnp.repeat(x, factor, axis=h_axis % x.ndim)
+    x = jnp.repeat(x, factor, axis=w_axis % x.ndim)
+    return x
+
+
+def trilinear_resize(
+    x: jnp.ndarray, out_thw: tuple, t_axis: int = -4, h_axis: int = -3, w_axis: int = -2
+) -> jnp.ndarray:
+    """Trilinear resize over (T, H, W) axes (used for abs-pos-embed resize,
+    reference `models/mvit.py:283-328`)."""
+    t_axis, h_axis, w_axis = (a % x.ndim for a in (t_axis, h_axis, w_axis))
+    x = linear_resize_1d(x, out_thw[0], axis=t_axis)
+    x = linear_resize_1d(x, out_thw[1], axis=h_axis)
+    x = linear_resize_1d(x, out_thw[2], axis=w_axis)
+    return x

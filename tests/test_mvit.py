@@ -1,0 +1,76 @@
+"""MViT encoder: block-plan invariants and pyramid shape contract.
+
+The full-resolution forward (224x384x16 frames) is exercised in the e2e
+tests; here we verify the static plan matches the reference architecture
+derivation exactly and run a reduced-size forward.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diff_sal_tpu.config import MViTConfig
+from diff_sal_tpu.models.mvit import MViT, _block_plan
+
+
+def test_small_block_plan_matches_reference_architecture():
+    plans = _block_plan(MViTConfig.small())
+    assert len(plans) == 16
+    dims = [(p["in_dims"], p["out_dims"]) for p in plans]
+    # channel doubling in attention at layers 1, 3, 14 (downscale_indices)
+    assert dims[0] == (96, 96)
+    assert dims[1] == (96, 192)
+    assert dims[2] == (192, 192)
+    assert dims[3] == (192, 384)
+    assert dims[13] == (384, 384)
+    assert dims[14] == (384, 768)
+    assert dims[15] == (768, 768)
+    heads = [p["num_heads"] for p in plans]
+    assert heads[0] == 1 and heads[1] == 2 and heads[3] == 4 and heads[14] == 8
+    # kv stride starts (1,8,8) and halves at each downscale, persisting
+    assert plans[0]["stride_kv"] == (1, 8, 8)
+    assert plans[1]["stride_kv"] == (1, 4, 4)
+    assert plans[2]["stride_kv"] == (1, 4, 4)
+    assert plans[3]["stride_kv"] == (1, 2, 2)
+    assert plans[13]["stride_kv"] == (1, 2, 2)
+    assert plans[14]["stride_kv"] == (1, 1, 1)
+    # q stride 2 only at downscale layers
+    for i, p in enumerate(plans):
+        expected = (1, 2, 2) if i in (1, 3, 14) else (1, 1, 1)
+        assert p["stride_q"] == expected
+    # scales emitted after layers 0, 2, 13, 15
+    emits = {i: p["emit_scale"] for i, p in enumerate(plans) if p["emit_scale"] is not None}
+    assert emits == {0: 0, 2: 1, 13: 2, 15: 3}
+    # rel-pos table lengths at the 224x224 pretrain grid
+    rel = [p["rel_pos_dims"] for p in plans]
+    assert rel[0] == (15, 111)
+    assert rel[1] == (15, 55)
+    assert rel[2] == (15, 55)
+    assert rel[3] == (15, 27)
+    assert rel[13] == (15, 27)
+    assert rel[14] == (15, 27)
+    assert rel[15] == (15, 13)
+
+
+def test_mvit_tiny_input_pyramid():
+    # Reduced spatial size for CPU test speed: 64x64 input -> grids 16x16.
+    cfg = MViTConfig.small(spatial_size=(64, 64), rel_pos_spatial_size=224)
+    m = MViT(cfg)
+    x = jnp.zeros((1, 16, 64, 64, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(params, x)
+    assert [o.shape for o in outs] == [
+        (1, 8, 2, 2, 768),
+        (1, 8, 4, 4, 384),
+        (1, 8, 8, 8, 192),
+        (1, 8, 16, 16, 96),
+    ]
+
+
+def test_mvit_param_count_plausible():
+    # MViTv2-small video backbone is ~34M params (Kinetics model zoo).
+    cfg = MViTConfig.small(spatial_size=(64, 64))
+    m = MViT(cfg)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 64, 3)))
+    n = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
+    assert 30e6 < n < 40e6, n

@@ -1,0 +1,95 @@
+"""Parity tests for resize / rel-pos ops against PyTorch CPU reference ops.
+
+These pin our static-matmul resize and rel-pos formulations to the exact
+semantics the reference model was trained with (bilinear align_corners=False,
+linear rel-pos interpolation, nearest integer upsample).
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from diff_sal_tpu.ops.resize import (
+    bilinear_resize,
+    linear_resize_1d,
+    nearest_upsample,
+)
+from diff_sal_tpu.ops.rel_pos import _rel_coords, resize_rel_pos
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [((7, 12), (14, 24)), ((112, 192), (224, 384)), ((14, 24), (112, 192)),
+     ((56, 96), (112, 192)), ((10, 10), (7, 5))],
+)
+def test_bilinear_matches_torch(in_hw, out_hw):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, *in_hw, 3).astype(np.float32)
+    ours = np.asarray(bilinear_resize(jnp.asarray(x), out_hw))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ref = (
+        F.interpolate(xt, size=out_hw, mode="bilinear", align_corners=False)
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_nearest_upsample_matches_torch():
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 7, 12, 4).astype(np.float32)
+    for f in (2, 4, 8):
+        ours = np.asarray(nearest_upsample(jnp.asarray(x), f))
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        ref = F.interpolate(xt, scale_factor=f, mode="nearest")
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.parametrize("src,dst", [(15, 27), (111, 15), (15, 15), (9, 23)])
+def test_linear_1d_matches_torch(src, dst):
+    rng = np.random.RandomState(2)
+    x = rng.randn(src, 6).astype(np.float32)
+    ours = np.asarray(linear_resize_1d(jnp.asarray(x), dst, axis=0))
+    xt = torch.from_numpy(x).t().unsqueeze(0)  # (1, C, L)
+    ref = F.interpolate(xt, size=dst, mode="linear").squeeze(0).t().numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-5)
+
+
+def _torch_resize_rel_pos(rel_pos, q_size, k_size):
+    """Direct transcription of the rel-pos semantics (mvit.py:331-366) using
+    torch ops, as the golden reference."""
+    max_rel_dist = int(2 * max(q_size, k_size) - 1)
+    if rel_pos.shape[0] != max_rel_dist:
+        resized = F.interpolate(
+            rel_pos.t().unsqueeze(0), size=max_rel_dist, mode="linear"
+        ).squeeze(0).t()
+    else:
+        resized = rel_pos
+    q_ratio = max(k_size / q_size, 1.0)
+    k_ratio = max(q_size / k_size, 1.0)
+    qc = torch.arange(q_size)[:, None] * q_ratio
+    kc = torch.arange(k_size)[None, :] * k_ratio
+    rel = (qc - kc) + (k_size - 1) * k_ratio
+    return resized[rel.long()]
+
+
+@pytest.mark.parametrize(
+    "L,q,k", [(15, 8, 8), (111, 56, 7), (111, 96, 12), (27, 14, 3), (15, 7, 7)]
+)
+def test_resize_rel_pos_matches_reference_semantics(L, q, k):
+    rng = np.random.RandomState(3)
+    table = rng.randn(L, 16).astype(np.float32)
+    ours = np.asarray(resize_rel_pos(jnp.asarray(table), q, k))
+    ref = _torch_resize_rel_pos(torch.from_numpy(table), q, k).numpy()
+    assert ours.shape == (q, k, 16)
+    np.testing.assert_allclose(ours, ref, atol=5e-5)
+
+
+def test_rel_coords_symmetry():
+    c = _rel_coords(8, 8)
+    assert c.shape == (8, 8)
+    assert c[0, 7] == 0 and c[7, 0] == 14 and c[3, 3] == 7

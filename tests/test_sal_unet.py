@@ -1,0 +1,153 @@
+"""Shape-contract and behavior tests for the SalUNet decoder stack at the
+exact reference dimensions (SURVEY.md §3.5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diff_sal_tpu.config import SalUNetConfig
+from diff_sal_tpu.models.sal_unet import (
+    CvTAttention,
+    NoiseEncoder,
+    SalUNet,
+    TimestepMLP,
+    TransformerBlock,
+    _scrambled_audio_tokens,
+)
+
+
+def _vis_pyramid(B=1, T=8, dtype=jnp.float32):
+    rng = np.random.RandomState(0)
+    shapes = [(B, T, 7, 12, 768), (B, T, 14, 24, 384), (B, T, 28, 48, 192),
+              (B, T, 56, 96, 96)]
+    return [jnp.asarray(rng.randn(*s).astype(np.float32), dtype=dtype) for s in shapes]
+
+
+def test_timestep_mlp_shapes():
+    m = TimestepMLP(ch=96)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((4,)))
+    out = m.apply(params, jnp.asarray([0.0, 10.0, 500.0, 999.0]))
+    assert out.shape == (4, 384)
+
+
+def test_timestep_embedding_matches_ddpm_convention():
+    from diff_sal_tpu.models.layers import timestep_embedding
+
+    emb = np.asarray(timestep_embedding(jnp.asarray([0.0, 1.0]), 96))
+    # t=0: all sines 0, all cosines 1
+    np.testing.assert_allclose(emb[0, :48], 0.0, atol=1e-7)
+    np.testing.assert_allclose(emb[0, 48:], 1.0, atol=1e-7)
+    # t=1, freq_0 = 1 -> sin(1), cos(1)
+    np.testing.assert_allclose(emb[1, 0], np.sin(1.0), rtol=1e-6)
+    np.testing.assert_allclose(emb[1, 48], np.cos(1.0), rtol=1e-6)
+
+
+def test_noise_encoder_pyramid_shapes():
+    m = NoiseEncoder()
+    x = jnp.zeros((2, 224, 384, 1))
+    temb = jnp.zeros((2, 384))
+    params = m.init(jax.random.PRNGKey(0), x, temb)
+    outs = m.apply(params, x, temb)
+    assert [o.shape for o in outs] == [
+        (2, 1, 7, 12, 768),
+        (2, 1, 14, 24, 384),
+        (2, 1, 28, 48, 192),
+    ]
+
+
+def test_scrambled_audio_tokens_matches_torch_view():
+    import torch
+
+    rng = np.random.RandomState(1)
+    a = rng.randn(2, 9, 7, 12, 16).astype(np.float32)  # (B,T,H,W,C)
+    ours = np.asarray(_scrambled_audio_tokens(jnp.asarray(a)))
+    at = torch.from_numpy(a).permute(0, 4, 1, 2, 3).contiguous()  # (B,C,T,H,W)
+    ref = at.view(2 * 9, 7 * 12, 16).numpy()
+    np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.parametrize("stride_kv,hw", [(2, (7, 12)), (4, (14, 24)),
+                                          (8, (28, 48)), (16, (56, 96))])
+def test_cvt_attention_kv_token_count(stride_kv, hw):
+    # kv pooling must give 3x6=18 tokens at every scale (attention.py kv conv)
+    C = 32
+    m = CvTAttention(num_heads=2, kernel_kv=stride_kv, stride_kv=stride_kv)
+    tokens = jnp.zeros((2, hw[0] * hw[1], C))
+    params = m.init(jax.random.PRNGKey(0), tokens, hw)
+    # probe the kv conv output length through the params of norm_k? Easier:
+    # run and check output shape is preserved; internal correctness is implied
+    # by the conv arithmetic asserted here:
+    h_kv = (hw[0] - stride_kv) // stride_kv + 1
+    w_kv = (hw[1] - stride_kv) // stride_kv + 1
+    assert (h_kv, w_kv) == (3, 6)
+    out = m.apply(params, tokens, hw)
+    assert out.shape == tokens.shape
+
+
+def test_transformer_block_with_audio():
+    m = TransformerBlock(num_heads=2, kernel_kv=4, stride_kv=4)
+    x = jnp.zeros((1, 9, 14, 24, 64))
+    audio = jnp.zeros((1, 9, 7, 12, 512))
+    params = m.init(jax.random.PRNGKey(0), x, audio)
+    out = m.apply(params, x, audio)
+    assert out.shape == x.shape
+
+
+def test_salunet_visual_only_full_shape():
+    cfg = SalUNetConfig()
+    m = SalUNet(cfg)
+    x = jnp.zeros((1, 224, 384, 1))
+    t = jnp.zeros((1,))
+    feats = _vis_pyramid()
+    params = m.init(jax.random.PRNGKey(0), x, t, feats)
+    out = m.apply(params, x, t, feats)
+    assert out.shape == (1, 224, 384, 1)
+    o = np.asarray(out)
+    assert (o > 0).all() and (o < 1).all()  # sigmoid head
+
+
+def test_salunet_audio_visual_full_shape():
+    cfg = SalUNetConfig()
+    m = SalUNet(cfg)
+    x = jnp.zeros((1, 224, 384, 1))
+    t = jnp.zeros((1,))
+    feats = _vis_pyramid()
+    audio = jnp.zeros((1, 9, 7, 12, 512))
+    params = m.init(jax.random.PRNGKey(0), x, t, feats, audio)
+    out = m.apply(params, x, t, feats, audio)
+    assert out.shape == (1, 224, 384, 1)
+
+
+def test_salunet_train_mode_mutates_batch_stats():
+    cfg = SalUNetConfig()
+    m = SalUNet(cfg)
+    x = jnp.zeros((1, 224, 384, 1))
+    t = jnp.zeros((1,))
+    feats = _vis_pyramid()
+    variables = m.init(jax.random.PRNGKey(0), x, t, feats)
+    out, mutated = m.apply(
+        variables,
+        x,
+        t,
+        feats,
+        None,
+        True,
+        mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert out.shape == (1, 224, 384, 1)
+    assert "batch_stats" in mutated
+
+
+def test_salunet_jit_compiles_once():
+    cfg = SalUNetConfig()
+    m = SalUNet(cfg)
+    x = jnp.zeros((1, 224, 384, 1))
+    t = jnp.zeros((1,))
+    feats = _vis_pyramid()
+    params = m.init(jax.random.PRNGKey(0), x, t, feats)
+    f = jax.jit(lambda p, x, t, fs: m.apply(p, x, t, fs))
+    out1 = f(params, x, t, feats)
+    out2 = f(params, x + 1.0, t, feats)
+    assert out1.shape == out2.shape == (1, 224, 384, 1)
