@@ -1,0 +1,104 @@
+"""VideoSaliencyModel — top-level composition of encoder(s) + denoiser.
+
+Mirrors the capability of reference `models/diff_model.py:8-114`: an optional
+MViT visual encoder, optional frozen VGGish audio encoder with AudioAttnNet
+spatio-temporal transformer, and the SalUNet diffusion decoder. Being
+functional, the visual/audio features are first-class values: samplers
+compute them once and reuse them across steps (the reference must deep-copy
+the feature list every DDIM step because its decoder mutates it —
+`diffusion_trainer.py:447-452` — a cost that simply disappears here).
+
+Input layouts (channel-last):
+  rgb   (B, 16, 224, 384, 3)   ImageNet-normalized frames
+  audio (B, 9, 112, 192, 1)    log-mel examples
+  x_t   (B, 224, 384, 1)       noised saliency map
+  t     (B,)                   timesteps
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from diff_sal_tpu.config import ModelConfig
+from diff_sal_tpu.models.audio_attention import AudioAttnNet
+from diff_sal_tpu.models.mvit import MViT
+from diff_sal_tpu.models.sal_unet import SalUNet
+from diff_sal_tpu.models.vggish import VGGish
+
+
+class VideoSaliencyModel(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        self.visual_net = MViT(self.cfg.visual) if self.cfg.visual else None
+        self.audio_net = VGGish(self.cfg.audio) if self.cfg.audio else None
+        self.spatiotemp_net = (
+            AudioAttnNet(self.cfg.spatiotemp) if self.cfg.spatiotemp else None
+        )
+        self.decoder_net = SalUNet(self.cfg.decoder)
+
+    def encode_visual(self, rgb: jnp.ndarray) -> List[jnp.ndarray]:
+        """rgb (B, T, H, W, 3) -> coarse-first 4-scale pyramid."""
+        assert self.visual_net is not None
+        return self.visual_net(rgb)
+
+    def encode_audio(
+        self, audio: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        """audio (B, Ta, 112, 192, 1) -> (B, Ta, 7, 12, 512).
+
+        The VGGish trunk is frozen (reference diff_model.py:74-75 runs it
+        under no_grad): gradients are stopped on its output so its params
+        receive none.
+        """
+        assert self.audio_net is not None
+        B, Ta = audio.shape[0], audio.shape[1]
+        frames = audio.reshape((B * Ta,) + audio.shape[2:])
+        feat = self.audio_net.forward_feat(frames)  # (B*Ta, 7, 12, 512)
+        feat = jax.lax.stop_gradient(feat)
+        feat = feat.reshape((B, Ta) + feat.shape[1:])
+        if self.spatiotemp_net is not None:
+            feat = self.spatiotemp_net(feat, deterministic=deterministic)
+        return feat
+
+    def denoise(
+        self,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        feat_list: List[jnp.ndarray],
+        audio_feat: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        return self.decoder_net(x, t, feat_list, audio_feat, train=train)
+
+    def __call__(
+        self,
+        data: dict,
+        t: jnp.ndarray,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        """Full forward: encoders + denoiser (reference diff_model.py:83-114).
+
+        data: {"rgb": ..., "input": x_t, "audio": optional}.
+        """
+        audio_feat = None
+        if self.audio_net is not None and data.get("audio") is not None:
+            audio_feat = self.encode_audio(data["audio"], deterministic=not train)
+        feat_list = self.encode_visual(data["rgb"])
+        return self.denoise(data["input"], t, feat_list, audio_feat, train=train)
+
+
+def param_counts(variables) -> dict:
+    """Per-subnet parameter counts in millions (reference prints these at
+    build, diff_model.py:66-68)."""
+    import numpy as np
+
+    out = {}
+    params = variables.get("params", variables)
+    for key, sub in params.items():
+        out[key] = sum(np.prod(x.shape) for x in jax.tree.leaves(sub)) / 1e6
+    return out
