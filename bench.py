@@ -1,0 +1,82 @@
+"""Benchmark: audio-visual saliency inference throughput, clips/sec/chip.
+
+End-to-end per clip (the BASELINE north star): VGGish on 9 log-mel examples
++ AudioAttnNet, MViT-small on 16 frames @ 224x384, SalUNet denoising at the
+configured NFE, inverse transform — one jitted program, batched.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no throughput numbers
+(BASELINE.md); the denominator is a modeled estimate of the CUDA reference
+on one RTX 4090 — ~0.25 TFLOP/clip at 35% utilization of 82 TFLOP/s fp16
+=> ~115 clips/s — kept fixed across rounds so the ratio is comparable.
+"""
+
+import json
+import time
+
+REF_CLIPS_PER_SEC_4090_EST = 115.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from diff_sal_tpu.config import (
+        DataTransformConfig,
+        ModelConfig,
+        SamplingConfig,
+    )
+    from diff_sal_tpu.diffusion.schedule import make_schedule
+    from diff_sal_tpu.inference import sample_saliency
+    from diff_sal_tpu.models.diff_model import VideoSaliencyModel
+
+    B = 8
+    cfg = ModelConfig.audio_visual()
+    model = VideoSaliencyModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    rgb = jax.random.normal(rng, (B, 16, 224, 384, 3), jnp.float32) * 0.5
+    audio = jax.random.normal(rng, (B, 9, 112, 192, 1), jnp.float32)
+
+    variables = model.init(
+        jax.random.PRNGKey(1),
+        {"rgb": rgb[:1], "input": jnp.zeros((1, 224, 384, 1)), "audio": audio[:1]},
+        jnp.zeros((1,)),
+    )
+    schedule = make_schedule("cosine", num_diffusion_timesteps=1000)
+    sampling = SamplingConfig()  # ddim, NFE=1 (shipping default)
+    dt_cfg = DataTransformConfig()
+
+    @jax.jit
+    def pipeline(variables, rgb, audio, rng):
+        return sample_saliency(
+            model, variables, schedule, sampling, dt_cfg, rgb, audio, rng
+        )
+
+    # warmup / compile
+    out = pipeline(variables, rgb, audio, jax.random.PRNGKey(2))
+    jax.block_until_ready(out)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = pipeline(variables, rgb, audio, jax.random.PRNGKey(i))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    clips_per_sec = B * iters / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "av_saliency_inference_throughput",
+                "value": round(clips_per_sec, 3),
+                "unit": "clips/sec/chip",
+                "vs_baseline": round(clips_per_sec / REF_CLIPS_PER_SEC_4090_EST, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,417 @@
+"""DPM-Solver / DPM-Solver++ (orders 1-3, singlestep & multistep) for TPU.
+
+Covers the capability of the reference's vendored official implementation
+(`models/dpm_solver/sampler.py:6-1247`): discrete-beta VP noise schedule with
+logSNR clipping at -5.1, logSNR / time_uniform / time_quadratic step spacing,
+noise- and data-prediction algorithms, lower_order_final warmup handling,
+denoise_to_zero, and dynamic thresholding.
+
+TPU-first formulation: every timestep, lambda, alpha and sigma is computed
+host-side in float64 numpy at trace time (shapes and schedules are static),
+so the sampler unrolls into a fixed chain of model calls + fused elementwise
+updates — no host round-trips, no tensor bookkeeping of `t_prev_list` (the
+reference threads model_prev_list/t_prev_list state through Python object
+mutation; here they are just loop variables of the traced program).
+
+Also fixes the reference's broken glue (SURVEY.md §8.1): `sample_image`
+passes an undefined variable and asserts eps-parameterization against an
+x0-trained model — here the parameterization follows `training_target`
+consistently.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from diff_sal_tpu.config import SamplingConfig
+from diff_sal_tpu.diffusion.schedule import DiffusionSchedule
+
+DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+class DiscreteVPSchedule:
+    """Continuous-time view of a discrete-beta VP diffusion
+    (reference sampler.py:6-167, schedule='discrete').
+
+    All methods take/return python floats or numpy arrays — used only at
+    trace time.
+    """
+
+    def __init__(self, betas: np.ndarray, lambda_min_clip: float = -5.1):
+        betas = np.asarray(betas, np.float64)
+        log_alphas = 0.5 * np.cumsum(np.log(1.0 - betas))
+        N = len(betas)
+        t_array = np.linspace(0.0, 1.0, N + 1)[1:]
+        # clip the tail where logSNR < lambda_min_clip (numerical stability,
+        # matching the reference's numerical_clip_alpha)
+        lambdas = log_alphas - 0.5 * np.log(1.0 - np.exp(2.0 * log_alphas))
+        keep = int(np.sum(lambdas > lambda_min_clip))
+        if keep < N:
+            log_alphas = log_alphas[:keep]
+            t_array = t_array[:keep]
+        self.total_N = N
+        self.t_array = t_array
+        self.log_alpha_array = log_alphas
+        self.T = float(t_array[-1])
+        self.t_0 = 1.0 / N
+
+    def marginal_log_mean_coeff(self, t):
+        return np.interp(t, self.t_array, self.log_alpha_array)
+
+    def marginal_alpha(self, t):
+        return np.exp(self.marginal_log_mean_coeff(t))
+
+    def marginal_std(self, t):
+        return np.sqrt(1.0 - np.exp(2.0 * self.marginal_log_mean_coeff(t)))
+
+    def marginal_lambda(self, t):
+        log_a = self.marginal_log_mean_coeff(t)
+        return log_a - 0.5 * np.log(1.0 - np.exp(2.0 * log_a))
+
+    def inverse_lambda(self, lamb):
+        lambdas = self.marginal_lambda(self.t_array)  # decreasing in t
+        return np.interp(lamb, lambdas[::-1], self.t_array[::-1])
+
+    def model_input_time(self, t):
+        """Continuous t -> the discrete timestep index the network was
+        trained on (reference sampler.py get_model_input_time)."""
+        return (t - 1.0 / self.total_N) * 1000.0
+
+
+def time_steps(
+    ns: DiscreteVPSchedule, skip_type: str, t_T: float, t_0: float, N: int
+) -> np.ndarray:
+    """N+1 decreasing timesteps from t_T to t_0 (reference sampler.py
+    get_time_steps)."""
+    if skip_type == "logSNR":
+        lT, l0 = ns.marginal_lambda(t_T), ns.marginal_lambda(t_0)
+        return ns.inverse_lambda(np.linspace(lT, l0, N + 1))
+    if skip_type == "time_uniform":
+        return np.linspace(t_T, t_0, N + 1)
+    if skip_type == "time_quadratic":
+        return np.linspace(t_T ** (1 / 2), t_0 ** (1 / 2), N + 1) ** 2
+    raise ValueError(f"unknown skip_type {skip_type}")
+
+
+def singlestep_orders(steps: int, order: int) -> List[int]:
+    """Split `steps` model evaluations into per-update orders
+    (reference sampler.py get_orders_and_timesteps_for_singlestep)."""
+    if order == 3:
+        k = steps // 3 + 1
+        if steps % 3 == 0:
+            return [3] * (k - 2) + [2, 1]
+        elif steps % 3 == 1:
+            return [3] * (k - 1) + [1]
+        return [3] * (k - 1) + [2]
+    if order == 2:
+        return [2] * (steps // 2) + ([1] if steps % 2 else [])
+    return [1] * steps
+
+
+def _dynamic_threshold(x0: jnp.ndarray, ratio: float = 0.995, max_val: float = 1.0):
+    """Imagen-style dynamic thresholding (reference sampler.py:377-388)."""
+    B = x0.shape[0]
+    s = jnp.quantile(jnp.abs(x0).reshape(B, -1), ratio, axis=1)
+    s = jnp.maximum(s, max_val).reshape((B,) + (1,) * (x0.ndim - 1))
+    return jnp.clip(x0, -s, s) / s
+
+
+class _Solver:
+    """Static-shape DPM-Solver over a closed-form x0/eps predictor."""
+
+    def __init__(
+        self,
+        ns: DiscreteVPSchedule,
+        denoise_fn: DenoiseFn,
+        *,
+        algorithm: str = "dpmsolver",  # dpmsolver (eps) | dpmsolver++ (data)
+        training_target: str = "x0",
+        thresholding: bool = False,
+    ):
+        self.ns = ns
+        self.denoise_fn = denoise_fn
+        self.algorithm = algorithm
+        self.training_target = training_target
+        self.thresholding = thresholding
+        self.data_pred = algorithm == "dpmsolver++"
+
+    # ---- model parameterizations -------------------------------------
+    def _raw(self, x, t: float):
+        B = x.shape[0]
+        t_in = jnp.full((B,), self.ns.model_input_time(t), jnp.float32)
+        return self.denoise_fn(x, t_in)
+
+    def x0_pred(self, x, t: float):
+        raw = self._raw(x, t)
+        if self.training_target == "x0":
+            x0 = raw
+        else:  # model predicts noise
+            a, s = self.ns.marginal_alpha(t), self.ns.marginal_std(t)
+            x0 = (x - s * raw) / a
+        if self.thresholding:
+            x0 = _dynamic_threshold(x0)
+        return x0
+
+    def eps_pred(self, x, t: float):
+        if self.training_target == "noise" and not self.thresholding:
+            return self._raw(x, t)
+        x0 = self.x0_pred(x, t)
+        a, s = self.ns.marginal_alpha(t), self.ns.marginal_std(t)
+        return (x - a * x0) / s
+
+    def model(self, x, t: float):
+        return self.x0_pred(x, t) if self.data_pred else self.eps_pred(x, t)
+
+    # ---- update rules -------------------------------------------------
+    def _coef(self, t: float):
+        ns = self.ns
+        return (
+            ns.marginal_alpha(t),
+            ns.marginal_std(t),
+            ns.marginal_lambda(t),
+        )
+
+    def first_order_update(self, x, s: float, t: float, m_s):
+        a_s, sig_s, l_s = self._coef(s)
+        a_t, sig_t, l_t = self._coef(t)
+        h = l_t - l_s
+        if self.data_pred:
+            return (sig_t / sig_s) * x - a_t * math.expm1(-h) * m_s
+        return (a_t / a_s) * x - sig_t * math.expm1(h) * m_s
+
+    def multistep_second_update(self, x, tl, ml, t: float):
+        (t0, t1), (m0, m1) = tl, ml  # t0 more recent
+        a_p, sig_p, l0 = self._coef(t0)
+        a_t, sig_t, l_t = self._coef(t)
+        l1 = self.ns.marginal_lambda(t1)
+        h, h0 = l_t - l0, l0 - l1
+        r0 = h0 / h
+        D1 = (1.0 / r0) * (m0 - m1)
+        if self.data_pred:
+            phi = math.expm1(-h)
+            return (sig_t / sig_p) * x - a_t * phi * m0 - 0.5 * a_t * phi * D1
+        phi = math.expm1(h)
+        return (a_t / a_p) * x - sig_t * phi * m0 - 0.5 * sig_t * phi * D1
+
+    def multistep_third_update(self, x, tl, ml, t: float):
+        (t0, t1, t2), (m0, m1, m2) = tl, ml
+        a_p, sig_p, l0 = self._coef(t0)
+        a_t, sig_t, l_t = self._coef(t)
+        l1, l2 = self.ns.marginal_lambda(t1), self.ns.marginal_lambda(t2)
+        h, h0, h1 = l_t - l0, l0 - l1, l1 - l2
+        r0, r1 = h0 / h, h1 / h
+        D1_0 = (1.0 / r0) * (m0 - m1)
+        D1_1 = (1.0 / r1) * (m1 - m2)
+        D1 = D1_0 + (r0 / (r0 + r1)) * (D1_0 - D1_1)
+        D2 = (1.0 / (r0 + r1)) * (D1_0 - D1_1)
+        if self.data_pred:
+            phi_1 = math.expm1(-h)
+            phi_2 = phi_1 / h + 1.0
+            phi_3 = phi_2 / h - 0.5
+            return (
+                (sig_t / sig_p) * x
+                - a_t * phi_1 * m0
+                + a_t * phi_2 * D1
+                - a_t * phi_3 * D2
+            )
+        phi_1 = math.expm1(h)
+        phi_2 = phi_1 / h - 1.0
+        phi_3 = phi_2 / h - 0.5
+        return (
+            (a_t / a_p) * x
+            - sig_t * phi_1 * m0
+            - sig_t * phi_2 * D1
+            - sig_t * phi_3 * D2
+        )
+
+    def singlestep_second_update(self, x, s: float, t: float, r1: float = 0.5):
+        ns = self.ns
+        a_s, sig_s, l_s = self._coef(s)
+        a_t, sig_t, l_t = self._coef(t)
+        h = l_t - l_s
+        s1 = float(ns.inverse_lambda(l_s + r1 * h))
+        a_s1, sig_s1, _ = self._coef(s1)
+        m_s = self.model(x, s)
+        if self.data_pred:
+            phi_11 = math.expm1(-r1 * h)
+            phi_1 = math.expm1(-h)
+            x_s1 = (sig_s1 / sig_s) * x - a_s1 * phi_11 * m_s
+            m_s1 = self.model(x_s1, s1)
+            return (
+                (sig_t / sig_s) * x
+                - a_t * phi_1 * m_s
+                - (0.5 / r1) * a_t * phi_1 * (m_s1 - m_s)
+            )
+        phi_11 = math.expm1(r1 * h)
+        phi_1 = math.expm1(h)
+        x_s1 = (a_s1 / a_s) * x - sig_s1 * phi_11 * m_s
+        m_s1 = self.model(x_s1, s1)
+        return (
+            (a_t / a_s) * x
+            - sig_t * phi_1 * m_s
+            - (0.5 / r1) * sig_t * phi_1 * (m_s1 - m_s)
+        )
+
+    def singlestep_third_update(
+        self, x, s: float, t: float, r1: float = 1.0 / 3.0, r2: float = 2.0 / 3.0
+    ):
+        ns = self.ns
+        a_s, sig_s, l_s = self._coef(s)
+        a_t, sig_t, l_t = self._coef(t)
+        h = l_t - l_s
+        s1 = float(ns.inverse_lambda(l_s + r1 * h))
+        s2 = float(ns.inverse_lambda(l_s + r2 * h))
+        a_s1, sig_s1, _ = self._coef(s1)
+        a_s2, sig_s2, _ = self._coef(s2)
+        m_s = self.model(x, s)
+        if self.data_pred:
+            phi_11 = math.expm1(-r1 * h)
+            phi_12 = math.expm1(-r2 * h)
+            phi_1 = math.expm1(-h)
+            phi_22 = math.expm1(-r2 * h) / (r2 * h) + 1.0
+            phi_2 = phi_1 / h + 1.0
+            x_s1 = (sig_s1 / sig_s) * x - a_s1 * phi_11 * m_s
+            m_s1 = self.model(x_s1, s1)
+            x_s2 = (
+                (sig_s2 / sig_s) * x
+                - a_s2 * phi_12 * m_s
+                + (r2 / r1) * a_s2 * phi_22 * (m_s1 - m_s)
+            )
+            m_s2 = self.model(x_s2, s2)
+            return (
+                (sig_t / sig_s) * x
+                - a_t * phi_1 * m_s
+                + (1.0 / r2) * a_t * phi_2 * (m_s2 - m_s)
+            )
+        phi_11 = math.expm1(r1 * h)
+        phi_12 = math.expm1(r2 * h)
+        phi_1 = math.expm1(h)
+        phi_22 = math.expm1(r2 * h) / (r2 * h) - 1.0
+        phi_2 = phi_1 / h - 1.0
+        x_s1 = (a_s1 / a_s) * x - sig_s1 * phi_11 * m_s
+        m_s1 = self.model(x_s1, s1)
+        x_s2 = (
+            (a_s2 / a_s) * x
+            - sig_s2 * phi_12 * m_s
+            - (r2 / r1) * sig_s2 * phi_22 * (m_s1 - m_s)
+        )
+        m_s2 = self.model(x_s2, s2)
+        return (
+            (a_t / a_s) * x
+            - sig_t * phi_1 * m_s
+            - (1.0 / r2) * sig_t * phi_2 * (m_s2 - m_s)
+        )
+
+    # ---- drivers -------------------------------------------------------
+    def sample_multistep(
+        self,
+        x,
+        steps: int,
+        skip_type: str = "logSNR",
+        order: int = 2,
+        lower_order_final: bool = False,
+    ):
+        ns = self.ns
+        ts = time_steps(ns, skip_type, ns.T, ns.t_0, steps)
+        model_list = [self.model(x, float(ts[0]))]
+        t_list = [float(ts[0])]
+        # warmup with increasing orders (reference sample(), method='multistep')
+        for i in range(1, order):
+            t = float(ts[i])
+            x = self._multistep_update(x, t_list, model_list, t, order=i)
+            t_list.append(t)
+            model_list.append(self.model(x, t))
+        for i in range(order, steps + 1):
+            t = float(ts[i])
+            step_order = (
+                min(order, steps + 1 - i) if lower_order_final else order
+            )
+            x = self._multistep_update(x, t_list, model_list, t, order=step_order)
+            t_list.append(t)
+            model_list.append(self.model(x, t) if i < steps else None)
+            t_list, model_list = t_list[-order:], model_list[-order:]
+        return x
+
+    def _multistep_update(self, x, t_list, model_list, t, order):
+        if order == 1:
+            return self.first_order_update(x, t_list[-1], t, model_list[-1])
+        if order == 2:
+            return self.multistep_second_update(
+                x, (t_list[-1], t_list[-2]), (model_list[-1], model_list[-2]), t
+            )
+        if order == 3:
+            return self.multistep_third_update(
+                x,
+                (t_list[-1], t_list[-2], t_list[-3]),
+                (model_list[-1], model_list[-2], model_list[-3]),
+                t,
+            )
+        raise ValueError(order)
+
+    def sample_singlestep(self, x, steps: int, skip_type: str = "logSNR",
+                          order: int = 2):
+        ns = self.ns
+        orders = singlestep_orders(steps, order)
+        if skip_type == "logSNR":
+            # one spacing per update, matching the reference's per-order split
+            ts = time_steps(ns, skip_type, ns.T, ns.t_0, len(orders))
+        else:
+            full = time_steps(ns, skip_type, ns.T, ns.t_0, steps)
+            idx = np.cumsum([0] + orders)
+            ts = full[idx]
+        for i, o in enumerate(orders):
+            s, t = float(ts[i]), float(ts[i + 1])
+            if o == 1:
+                x = self.first_order_update(x, s, t, self.model(x, s))
+            elif o == 2:
+                x = self.singlestep_second_update(x, s, t)
+            else:
+                x = self.singlestep_third_update(x, s, t)
+        return x
+
+    def denoise_to_zero(self, x):
+        return self.x0_pred(x, self.ns.t_0)
+
+
+def dpm_solver_sample(
+    schedule: DiffusionSchedule,
+    denoise_fn: DenoiseFn,
+    x: jnp.ndarray,
+    *,
+    sampling: SamplingConfig,
+    training_target: str = "x0",
+) -> jnp.ndarray:
+    """Run DPM-Solver per the sampling config (reference sample_image's
+    dpmsolver branch, diffusion_trainer.py:582-636, with working glue)."""
+    ns = DiscreteVPSchedule(np.asarray(schedule.betas))
+    solver = _Solver(
+        ns,
+        denoise_fn,
+        algorithm=sampling.sample_type,
+        training_target=training_target,
+        thresholding=sampling.thresholding,
+    )
+    steps = sampling.timesteps - 1 if sampling.denoise else sampling.timesteps
+    steps = max(steps, 1)
+    if sampling.dpm_solver_method == "multistep":
+        x = solver.sample_multistep(
+            x,
+            steps,
+            skip_type=sampling.skip_type,
+            order=min(sampling.dpm_solver_order, steps),
+            lower_order_final=sampling.lower_order_final,
+        )
+    elif sampling.dpm_solver_method in ("singlestep", "singlestep_fixed"):
+        x = solver.sample_singlestep(
+            x, steps, skip_type=sampling.skip_type,
+            order=min(sampling.dpm_solver_order, steps),
+        )
+    else:
+        raise NotImplementedError(sampling.dpm_solver_method)
+    if sampling.denoise:
+        x = solver.denoise_to_zero(x)
+    return x

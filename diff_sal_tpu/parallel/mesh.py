@@ -1,0 +1,55 @@
+"""Device mesh + sharding layout.
+
+The reference's only parallelism is data parallelism over NCCL DDP
+(`train_dhf1k.py:38-61`, `model.py:13-15`, DistributedSamplers in
+`datasets/prepare_data.py`). The TPU-native equivalent: a
+`jax.sharding.Mesh` with ('data', 'model') axes; batches are sharded on
+'data', parameters replicated (model=1 by default, the axis is provisioned
+for tensor-parallel extension). Under `jit`, XLA inserts the gradient
+all-reduce (`psum`) over ICI automatically — there is no explicit NCCL-style
+collective code, by design.
+
+Eval-metric reduction note: the reference logs only rank-0's shard
+(diffusion_trainer.py:684,746 — quirk SURVEY.md §8.5). Here eval metrics are
+computed on the global (sharded) batch inside jit, so the reduction is
+correct by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_data: int = -1,
+    num_model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if num_data == -1:
+        num_data = len(devices) // num_model
+    assert num_data * num_model <= len(devices), (
+        f"mesh {num_data}x{num_model} needs more than {len(devices)} devices"
+    )
+    grid = np.asarray(devices[: num_data * num_model]).reshape(num_data, num_model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis sharded over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch pytree with the leading axis sharded on
+    'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,129 @@
+"""The jitted training / evaluation steps.
+
+One SPMD program covers what the reference spreads across
+`DiffusionTrainer.prepare_data` + `q_sample` + forward + `get_lossv2` +
+backward + clip + step (diffusion_trainer.py:78-137, 347-376): the noising,
+forward, loss, gradient (with XLA's automatic cross-device `psum` when the
+batch is sharded over the 'data' mesh axis), clipping and Adam update all run
+on device in a single compiled step. The dequantization / timestep / noise
+randomness is explicit via a PRNG key split per step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from diff_sal_tpu.config import ExperimentConfig
+from diff_sal_tpu.data.transforms import data_transform
+from diff_sal_tpu.diffusion.schedule import DiffusionSchedule, q_sample
+from diff_sal_tpu.models.diff_model import VideoSaliencyModel
+from diff_sal_tpu.train.losses import eval_scores, training_loss
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def create_train_state(
+    model: VideoSaliencyModel,
+    variables,
+    tx: optax.GradientTransformation,
+) -> TrainState:
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=tx,
+        batch_stats=variables.get("batch_stats", flax.core.freeze({})),
+    )
+
+
+def make_train_step(
+    model: VideoSaliencyModel,
+    schedule: DiffusionSchedule,
+    cfg: ExperimentConfig,
+) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    batch: {"rgb": (B,T,H,W,3), "salmap": (B,H,W,1)[, "audio": ...]}.
+    """
+    T = schedule.num_timesteps
+    target_kind = cfg.training.training_target
+
+    def train_step(state: TrainState, batch, rng: jax.Array):
+        rng_deq, rng_t, rng_noise, rng_drop = jax.random.split(rng, 4)
+        x0 = data_transform(
+            cfg.data_transform, batch["salmap"].astype(jnp.float32), rng_deq
+        )
+        B = x0.shape[0]
+        if cfg.training.shared_timestep_per_batch:
+            # Reference quirk: one scalar t for the whole batch
+            # (diffusion_trainer.py:111-114).
+            t = jnp.full((B,), jax.random.randint(rng_t, (), 0, T))
+        else:
+            t = jax.random.randint(rng_t, (B,), 0, T)
+        noise = jax.random.normal(rng_noise, x0.shape, x0.dtype)
+        x_noisy = q_sample(schedule, x0, t, noise)
+        target = x0 if target_kind == "x0" else noise
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            data = {"rgb": batch["rgb"], "input": x_noisy}
+            if "audio" in batch:
+                data["audio"] = batch["audio"]
+            pred, mutated = state.apply_fn(
+                variables,
+                data,
+                t.astype(jnp.float32),
+                True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng_drop},
+            )
+            loss_dict = training_loss(cfg.loss, pred, target)
+            return loss_dict["total"], (loss_dict, mutated)
+
+        grads, (loss_dict, mutated) = jax.grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads).replace(
+            batch_stats=mutated["batch_stats"]
+        )
+        metrics = {k: v for k, v in loss_dict.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    model: VideoSaliencyModel,
+    schedule: DiffusionSchedule,
+    cfg: ExperimentConfig,
+) -> Callable:
+    """Returns eval_step(state, batch, rng) -> scores dict. Runs the default
+    sampler (DDIM NFE=1 under the shipped config) and computes the
+    nss+cc+sim validation score on device (reference
+    `test`/`test_av_data_for_training`, diffusion_trainer.py:714-821 —
+    with the metric reduction over the full global batch, not rank-0's
+    shard)."""
+    from diff_sal_tpu.inference import sample_saliency
+
+    def eval_step(state: TrainState, batch, rng: jax.Array):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        pred = sample_saliency(
+            model,
+            variables,
+            schedule,
+            cfg.sampling,
+            cfg.data_transform,
+            batch["rgb"],
+            batch.get("audio"),
+            rng=rng,
+            training_target=cfg.training.training_target,
+        )
+        return eval_scores(pred, batch["salmap"].astype(jnp.float32))
+
+    return eval_step

@@ -1,0 +1,169 @@
+"""DPM-Solver correctness: schedule invariants, exactness for constant-x0
+models, and convergence-order behavior on a linear model."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from diff_sal_tpu.config import SamplingConfig
+from diff_sal_tpu.diffusion.dpm_solver import (
+    DiscreteVPSchedule,
+    _Solver,
+    dpm_solver_sample,
+    singlestep_orders,
+    time_steps,
+)
+from diff_sal_tpu.diffusion.schedule import get_beta_schedule, make_schedule
+
+
+def _ns():
+    betas = get_beta_schedule(
+        "cosine", beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=1000
+    )
+    return DiscreteVPSchedule(betas)
+
+
+def test_schedule_lambda_monotone_and_clipped():
+    ns = _ns()
+    lam = ns.marginal_lambda(ns.t_array)
+    assert np.all(np.diff(lam) < 0)  # decreasing in t
+    assert lam.min() > -5.1 - 1e-6  # logSNR clip
+    assert ns.T <= 1.0 and ns.t_0 == 1e-3
+    # alpha^2 + sigma^2 == 1
+    t = np.linspace(ns.t_0, ns.T, 50)
+    np.testing.assert_allclose(
+        ns.marginal_alpha(t) ** 2 + ns.marginal_std(t) ** 2, 1.0, rtol=1e-10
+    )
+
+
+def test_inverse_lambda_roundtrip():
+    ns = _ns()
+    t = np.linspace(ns.t_0, ns.T, 17)
+    np.testing.assert_allclose(
+        ns.inverse_lambda(ns.marginal_lambda(t)), t, atol=1e-5
+    )
+
+
+def test_model_input_time_contract():
+    ns = _ns()
+    np.testing.assert_allclose(ns.model_input_time(1.0), 999.0)
+    np.testing.assert_allclose(ns.model_input_time(1e-3), 0.0)
+
+
+def test_time_steps_endpoints():
+    ns = _ns()
+    for skip in ("logSNR", "time_uniform", "time_quadratic"):
+        ts = time_steps(ns, skip, ns.T, ns.t_0, 10)
+        assert len(ts) == 11
+        np.testing.assert_allclose(ts[0], ns.T, rtol=1e-6)
+        np.testing.assert_allclose(ts[-1], ns.t_0, rtol=1e-6)
+        assert np.all(np.diff(ts) < 0)
+
+
+def test_singlestep_orders_split():
+    # official split: trailing lower orders close out the remainder
+    assert singlestep_orders(6, 3) == [3, 2, 1]
+    assert singlestep_orders(7, 3) == [3, 3, 1]
+    assert singlestep_orders(8, 3) == [3, 3, 2]
+    assert singlestep_orders(5, 2) == [2, 2, 1]
+    assert singlestep_orders(3, 1) == [1, 1, 1]
+
+
+def _const_model(c):
+    def fn(x, t_vec):
+        return jnp.full_like(x, c)
+
+    return fn
+
+
+def test_constant_model_exact_all_methods():
+    """For a constant x0-predictor the solver updates are exact: the final
+    denoised output equals the constant for every order/method/algorithm."""
+    ns = _ns()
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 1).astype(np.float32))
+    for algo in ("dpmsolver", "dpmsolver++"):
+        for order in (1, 2, 3):
+            sol = _Solver(ns, _const_model(0.37), algorithm=algo)
+            y = sol.sample_multistep(x, steps=6, order=order)
+            y = sol.denoise_to_zero(y)
+            np.testing.assert_allclose(np.asarray(y), 0.37, atol=1e-4,
+                                       err_msg=f"{algo} multistep o{order}")
+            y2 = sol.sample_singlestep(x, steps=6, order=order)
+            y2 = sol.denoise_to_zero(y2)
+            np.testing.assert_allclose(np.asarray(y2), 0.37, atol=1e-4,
+                                       err_msg=f"{algo} singlestep o{order}")
+
+
+def test_convergence_order_on_linear_model():
+    """x0(x) = 0.9x gives a linear probability-flow ODE; higher orders must
+    track the fine-grained solution better at equal NFE."""
+    ns = _ns()
+
+    def model(x, t_vec):
+        return 0.9 * x
+
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 6, 6, 1).astype(np.float32))
+    ref_sol = _Solver(ns, model, algorithm="dpmsolver++")
+    x_ref = np.asarray(ref_sol.sample_multistep(x, steps=256, order=3))
+
+    errs = {}
+    for order in (1, 2, 3):
+        sol = _Solver(ns, model, algorithm="dpmsolver++")
+        y = np.asarray(sol.sample_multistep(x, steps=32, order=order))
+        errs[order] = np.abs(y - x_ref).max()
+    # monotone improvement with order at fixed NFE
+    assert errs[2] < errs[1] * 0.5, errs
+    assert errs[3] < errs[2], errs
+    # and each order converges with more steps
+    y16 = np.asarray(
+        _Solver(ns, model, algorithm="dpmsolver++").sample_multistep(
+            x, steps=16, order=2
+        )
+    )
+    assert errs[2] < np.abs(y16 - x_ref).max(), "order-2 must improve with steps"
+
+
+def test_dpm_solver_sample_wiring():
+    schedule = make_schedule("cosine", num_diffusion_timesteps=1000)
+    x = jnp.ones((1, 4, 4, 1))
+    cfg = SamplingConfig(
+        sample_type="dpmsolver", timesteps=5, dpm_solver_order=2,
+        dpm_solver_method="multistep", skip_type="logSNR", denoise=True,
+    )
+    out = dpm_solver_sample(
+        schedule, _const_model(0.5), x, sampling=cfg, training_target="x0"
+    )
+    np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-4)
+    cfg_pp = dataclasses.replace(cfg, sample_type="dpmsolver++",
+                                 thresholding=True)
+    out2 = dpm_solver_sample(
+        schedule, _const_model(0.5), x, sampling=cfg_pp, training_target="x0"
+    )
+    np.testing.assert_allclose(np.asarray(out2), 0.5, atol=1e-4)
+
+
+def test_noise_parameterized_model():
+    """training_target='noise': model returns eps; constant-data check via
+    eps(x,t) = (x - a c)/s for data point-mass at c."""
+    ns = _ns()
+    c = 0.25
+
+    class EpsModel:
+        def __init__(self, ns):
+            self.ns = ns
+            self.t = None
+
+        def __call__(self, x, t_vec):
+            # invert model_input_time: t_cont = t_in/1000 + 1/N
+            t_cont = float(t_vec[0]) / 1000.0 + 1.0 / self.ns.total_N
+            a = self.ns.marginal_alpha(t_cont)
+            s = self.ns.marginal_std(t_cont)
+            return (x - a * c) / s
+
+    sol = _Solver(ns, EpsModel(ns), algorithm="dpmsolver",
+                  training_target="noise")
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 4, 4, 1).astype(np.float32))
+    y = sol.sample_multistep(x, steps=10, order=2)
+    y = sol.denoise_to_zero(y)
+    np.testing.assert_allclose(np.asarray(y), c, atol=1e-3)

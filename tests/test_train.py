@@ -1,0 +1,125 @@
+"""Training-step tests: loss decreases when overfitting one batch (tiny
+model), optimizer schedule semantics, frozen-VGGish gradient contract."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diff_sal_tpu.config import (
+    ExperimentConfig,
+    MViTConfig,
+    ModelConfig,
+    SalUNetConfig,
+)
+from diff_sal_tpu.diffusion.schedule import make_schedule
+from diff_sal_tpu.models.diff_model import VideoSaliencyModel
+from diff_sal_tpu.train.optim import make_optimizer, multistep_lr
+from diff_sal_tpu.train.train_step import (
+    create_train_state,
+    make_train_step,
+)
+
+
+def tiny_experiment(hw=(64, 96)):
+    return ExperimentConfig(
+        model=ModelConfig(
+            visual=MViTConfig.tiny(spatial_size=hw),
+            decoder=SalUNetConfig(img_size=hw),
+        )
+    )
+
+
+def test_multistep_lr_boundaries():
+    sched = multistep_lr(1e-4, steps_per_epoch=100, n_epochs=4)
+    np.testing.assert_allclose(float(sched(0)), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(199)), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(200)), 1e-5, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(300)), 1e-6, rtol=1e-5)
+
+
+def test_overfit_one_batch_loss_decreases():
+    cfg = tiny_experiment()
+    model = VideoSaliencyModel(cfg.model)
+    schedule = make_schedule(
+        cfg.diffusion.beta_schedule,
+        num_diffusion_timesteps=cfg.diffusion.num_diffusion_timesteps,
+    )
+    rng = jax.random.PRNGKey(0)
+    B, hw = 2, (64, 96)
+    rgb = jax.random.normal(rng, (B, 16, *hw, 3)) * 0.1
+    salmap = jax.random.uniform(jax.random.PRNGKey(1), (B, *hw, 1))
+    batch = {"rgb": rgb, "salmap": salmap}
+
+    variables = model.init(
+        jax.random.PRNGKey(2),
+        {"rgb": rgb, "input": jnp.zeros((B, *hw, 1))},
+        jnp.zeros((B,)),
+    )
+    tx = make_optimizer(cfg.optim, steps_per_epoch=10, n_epochs=3)
+    state = create_train_state(model, variables, tx)
+    step = jax.jit(make_train_step(model, schedule, cfg))
+
+    losses = []
+    for i in range(8):
+        # fixed rng -> same timestep/noise each step: pure overfit signal
+        state, metrics = step(state, batch, jax.random.PRNGKey(42))
+        losses.append(float(metrics["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses
+    assert float(metrics["grad_norm"]) > 0.0
+
+
+def test_frozen_vggish_receives_no_gradient():
+    from diff_sal_tpu.config import AudioAttnConfig, VGGishConfig
+
+    hw = (64, 96)
+    cfg = ExperimentConfig(
+        model=ModelConfig(
+            visual=MViTConfig.tiny(spatial_size=hw),
+            audio=VGGishConfig(),
+            spatiotemp=AudioAttnConfig(),
+            decoder=SalUNetConfig(img_size=hw),
+        )
+    )
+    model = VideoSaliencyModel(cfg.model)
+    schedule = make_schedule("cosine", num_diffusion_timesteps=100)
+    B = 1
+    rgb = jnp.zeros((B, 16, *hw, 3))
+    audio = jnp.zeros((B, 9, 112, 192, 1))
+    salmap = jnp.full((B, *hw, 1), 0.5)
+    batch = {"rgb": rgb, "salmap": salmap, "audio": audio}
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        {"rgb": rgb, "input": jnp.zeros((B, *hw, 1)), "audio": audio},
+        jnp.zeros((B,)),
+    )
+
+    # compute grads directly (no optimizer) and assert audio trunk grads == 0
+    from diff_sal_tpu.data.transforms import data_transform
+    from diff_sal_tpu.diffusion.schedule import q_sample
+    from diff_sal_tpu.train.losses import training_loss
+
+    def loss_fn(params):
+        x0 = salmap
+        t = jnp.zeros((B,))
+        x_noisy = q_sample(schedule, x0, jnp.zeros((B,), jnp.int32), x0 * 0)
+        pred, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            {"rgb": rgb, "input": x_noisy, "audio": audio},
+            t,
+            True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        return training_loss(cfg.loss, pred, x0)["total"]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    audio_grad_norm = sum(
+        float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads["audio_net"])
+    )
+    assert audio_grad_norm == 0.0
+    # but the trainable spatiotemp transformer does get gradients
+    st_grad_norm = sum(
+        float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads["spatiotemp_net"])
+    )
+    assert st_grad_norm > 0.0
