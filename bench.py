@@ -54,8 +54,12 @@ def main():
         )
 
     # warmup / compile
+    import sys
+
+    t_c = time.perf_counter()
     out = pipeline(variables, rgb, audio, jax.random.PRNGKey(2))
     jax.block_until_ready(out)
+    print(f"# compile+warmup {time.perf_counter() - t_c:.1f}s", file=sys.stderr)
 
     iters = 20
     t0 = time.perf_counter()

@@ -1,0 +1,187 @@
+"""Data-layer tests on generated fake on-disk datasets (DHF1k layout + AV
+fold layout) and the loader's sharding/batching semantics."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from diff_sal_tpu.data.av_dataset import (
+    AVSaliencyDataset,
+    ConcatDataset,
+    median_frame_index,
+    temporal_center_crop,
+)
+from diff_sal_tpu.data.loader import Loader, collate
+from diff_sal_tpu.data.synthetic import SyntheticAVDataset, SyntheticVisualDataset
+from diff_sal_tpu.data.video_datasets import DHF1KDataset
+
+
+@pytest.fixture(scope="module")
+def dhf1k_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dhf1k")
+    rng = np.random.RandomState(0)
+    # 3 "videos" named 1..3 but the split logic needs 600+ names for train;
+    # use val-mode style by monkeypatching below; instead create 601 dirs
+    # cheaply with 1 real video and symlinks? Simpler: test with mode-specific
+    # windows on a tiny custom split via subclassing is overkill — make the
+    # videos land in the train split by naming them 1..3 and patching split
+    # boundaries is intrusive. We test the item path via direct window
+    # injection instead.
+    frames = root / "frames" / "1"
+    maps = root / "maps" / "1"
+    frames.mkdir(parents=True)
+    maps.mkdir(parents=True)
+    for i in range(1, 41):
+        Image.fromarray(
+            rng.randint(0, 255, (48, 64, 3), dtype=np.uint8)
+        ).save(frames / f"{i}.png")
+        Image.fromarray(
+            rng.randint(0, 255, (48, 64), dtype=np.uint8)
+        ).save(maps / ("%04d.png" % i))
+    return root
+
+
+def test_dhf1k_item_contract(dhf1k_root):
+    ds = DHF1KDataset.__new__(DHF1KDataset)
+    # construct bookkeeping manually (split logic needs 1000 videos on disk)
+    from diff_sal_tpu.data.video_datasets import VideoWindowDataset
+
+    VideoWindowDataset.__init__(ds, 32, "train", (32, 48), 1, 1)
+    ds.img_path = os.path.join(str(dhf1k_root), "frames")
+    ds.ann_path = os.path.join(str(dhf1k_root), "maps")
+    ds.windows = [("1", 0), ("1", 8)]
+
+    item = ds[0]
+    assert item["rgb"].shape == (16, 32, 48, 3)
+    assert item["salmap"].shape == (32, 48, 1)
+    assert 0.0 <= item["salmap"].min() and item["salmap"].max() <= 1.0
+    # gt index = center of [1..16] -> 9
+    assert item["gt_index"] == 9
+    # ImageNet normalization applied: mean roughly centered
+    assert abs(item["rgb"].mean()) < 3.0
+
+
+@pytest.fixture(scope="module")
+def av_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("avad")
+    rng = np.random.RandomState(1)
+    vid = "v001"
+    (root / "video" / vid).mkdir(parents=True)
+    (root / "ann" / vid / "maps").mkdir(parents=True)
+    (root / "audio" / vid).mkdir(parents=True)
+    n_frames = 40
+    for i in range(1, n_frames + 1):
+        Image.fromarray(
+            rng.randint(0, 255, (36, 64, 3), dtype=np.uint8)
+        ).save(root / "video" / vid / ("img_%05d.jpg" % i))
+        Image.fromarray(
+            rng.randint(1, 255, (36, 64), dtype=np.uint8)
+        ).save(root / "ann" / vid / "maps" / ("eyeMap_%05d.jpg" % i))
+    # 2 seconds of 22050 Hz int16 wav
+    from scipy.io import wavfile
+
+    sr = 22050
+    wave = (rng.randn(sr * 2) * 3000).astype(np.int16)
+    wavfile.write(root / "audio" / vid / f"{vid}.wav", sr, wave)
+    with open(root / "fold.txt", "w") as f:
+        f.write(f"{vid} {n_frames} 20.0\n")
+    return root
+
+
+def test_av_dataset_item_contract(av_root):
+    ds = AVSaliencyDataset(
+        str(av_root / "video"),
+        str(av_root / "fold.txt"),
+        str(av_root / "ann"),
+        str(av_root / "audio"),
+        name="avad",
+        img_size=(32, 48),
+    )
+    assert len(ds) > 0
+    item = ds[0]
+    assert item["rgb"].shape == (16, 32, 48, 3)
+    assert item["salmap"].shape == (32, 48, 1)
+    assert item["audio"].shape == (9, 112, 192, 1)
+    assert item["video_id"].startswith("avad/")
+
+
+def test_av_exhaustive_windows(av_root):
+    ds = AVSaliencyDataset(
+        str(av_root / "video"),
+        str(av_root / "fold.txt"),
+        str(av_root / "ann"),
+        str(av_root / "audio"),
+        exhaustive_sampling=True,
+        img_size=(32, 48),
+    )
+    # step 1 from frame 1..n_frames-1 -> 39 windows
+    assert len(ds) == 39
+
+
+def test_temporal_center_crop_and_median():
+    idx = list(range(1, 91))
+    out = temporal_center_crop(idx, 16)
+    assert len(out) == 16
+    assert out[0] == 38  # center 45, begin 45-8=37 -> value 38
+    # median of 16 consecutive ints x..x+15 is x+7.5 -> ROUND_HALF_UP -> x+8
+    assert median_frame_index(out) == out[0] + 8
+    # loop padding when short
+    short = temporal_center_crop([5, 6, 7], 6)
+    assert len(short) == 6
+
+
+def test_loader_sharding_and_batching():
+    ds = SyntheticVisualDataset(n=20, img_size=(16, 24), frames=4)
+    l0 = Loader(ds, 4, shuffle=True, seed=1, process_index=0, process_count=2,
+                num_workers=2)
+    l1 = Loader(ds, 4, shuffle=True, seed=1, process_index=1, process_count=2,
+                num_workers=2)
+    b0 = list(l0)
+    b1 = list(l1)
+    assert len(b0) == len(b1) == 2  # 10 per shard, batch 4, drop_last
+    ids0 = {v for b in b0 for v in b["video_id"]}
+    ids1 = {v for b in b1 for v in b["video_id"]}
+    assert ids0.isdisjoint(ids1)
+    assert b0[0]["rgb"].shape == (4, 4, 16, 24, 3)
+
+
+def test_loader_pad_last():
+    ds = SyntheticVisualDataset(n=5, img_size=(8, 12), frames=2)
+    l = Loader(ds, 4, drop_last=False, pad_last=True, num_workers=0)
+    batches = list(l)
+    assert len(batches) == 2
+    assert batches[1]["rgb"].shape[0] == 4
+    # padded entries repeat the final item
+    assert batches[1]["video_id"][-1] == batches[1]["video_id"][1]
+
+
+def test_loader_epoch_reshuffle():
+    ds = SyntheticVisualDataset(n=16, img_size=(8, 12), frames=2)
+    l = Loader(ds, 4, shuffle=True, seed=0, num_workers=0)
+    order0 = [v for b in l for v in b["video_id"]]
+    l.set_epoch(1)
+    order1 = [v for b in l for v in b["video_id"]]
+    assert order0 != order1
+    assert sorted(order0) == sorted(order1)
+
+
+def test_concat_dataset():
+    a = SyntheticVisualDataset(n=3, img_size=(8, 12), frames=2, seed=0)
+    b = SyntheticAVDataset(n=2, img_size=(8, 12), frames=2, seed=9)
+    cat = ConcatDataset([a, b])
+    assert len(cat) == 5
+    assert "audio" not in cat[0]
+    assert "audio" in cat[3]
+
+
+def test_collate_mixed_types():
+    items = [
+        {"x": np.ones((2, 2)), "i": 3, "s": "a"},
+        {"x": np.zeros((2, 2)), "i": 4, "s": "b"},
+    ]
+    out = collate(items)
+    assert out["x"].shape == (2, 2, 2)
+    assert out["i"].tolist() == [3, 4]
+    assert out["s"] == ["a", "b"]
