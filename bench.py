@@ -19,7 +19,17 @@ REF_CLIPS_PER_SEC_4090_EST = 115.0
 
 
 def main():
+    import dataclasses
+    import os
+
     import jax
+
+    # persistent compile cache: repeated bench runs skip the ~3 min compile
+    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     import jax.numpy as jnp
 
     from diff_sal_tpu.config import (
@@ -31,8 +41,9 @@ def main():
     from diff_sal_tpu.inference import sample_saliency
     from diff_sal_tpu.models.diff_model import VideoSaliencyModel
 
-    B = 8
-    cfg = ModelConfig.audio_visual()
+    B = int(os.environ.get("BENCH_BATCH", 8))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    cfg = dataclasses.replace(ModelConfig.audio_visual(), compute_dtype=dtype)
     model = VideoSaliencyModel(cfg)
     rng = jax.random.PRNGKey(0)
     rgb = jax.random.normal(rng, (B, 16, 224, 384, 3), jnp.float32) * 0.5

@@ -26,20 +26,23 @@ class TokenAttention(nn.Module):
     heads: int
     dim_head: int
     dropout: float = 0.0
+    dtype: "jnp.dtype" = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         B, N, C = x.shape
         inner = self.heads * self.dim_head
         h = nn.LayerNorm(name="norm")(x)
-        qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(h)
+        qkv = nn.Dense(
+            inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv"
+        )(h)
         qkv = qkv.reshape(B, N, 3, self.heads, self.dim_head)
         q, k, v = jnp.moveaxis(qkv, 2, 0)
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * self.dim_head**-0.5
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, inner)
-        out = nn.Dense(C, name="to_out")(out)
+        out = nn.Dense(C, dtype=self.dtype, name="to_out")(out)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
 
@@ -49,20 +52,22 @@ class TokenFeedForward(nn.Module):
 
     hidden_dim: int
     dropout: float = 0.0
+    dtype: "jnp.dtype" = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         C = x.shape[-1]
         h = nn.LayerNorm(name="norm")(x)
-        h = nn.Dense(self.hidden_dim, name="fc1")(h)
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(h)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(C, name="fc2")(h)
+        h = nn.Dense(C, dtype=self.dtype, name="fc2")(h)
         return nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
 
 class AudioAttnNet(nn.Module):
     cfg: AudioAttnConfig = AudioAttnConfig()
+    dtype: "jnp.dtype" = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -72,13 +77,14 @@ class AudioAttnNet(nn.Module):
             tokens = (
                 TokenAttention(
                     self.cfg.heads, self.cfg.dim_head, self.cfg.dropout,
-                    name=f"attn{i}",
+                    dtype=self.dtype, name=f"attn{i}",
                 )(tokens, deterministic)
                 + tokens
             )
             tokens = (
                 TokenFeedForward(
-                    self.cfg.mlp_dim, self.cfg.dropout, name=f"ff{i}"
+                    self.cfg.mlp_dim, self.cfg.dropout, dtype=self.dtype,
+                    name=f"ff{i}",
                 )(tokens, deterministic)
                 + tokens
             )

@@ -34,12 +34,23 @@ class VideoSaliencyModel(nn.Module):
     cfg: ModelConfig
 
     def setup(self):
-        self.visual_net = MViT(self.cfg.visual) if self.cfg.visual else None
-        self.audio_net = VGGish(self.cfg.audio) if self.cfg.audio else None
-        self.spatiotemp_net = (
-            AudioAttnNet(self.cfg.spatiotemp) if self.cfg.spatiotemp else None
+        dtype = (
+            jnp.dtype(self.cfg.compute_dtype)
+            if self.cfg.compute_dtype not in (None, "float32")
+            else None
         )
-        self.decoder_net = SalUNet(self.cfg.decoder)
+        self.visual_net = (
+            MViT(self.cfg.visual, dtype=dtype) if self.cfg.visual else None
+        )
+        self.audio_net = (
+            VGGish(self.cfg.audio, dtype=dtype) if self.cfg.audio else None
+        )
+        self.spatiotemp_net = (
+            AudioAttnNet(self.cfg.spatiotemp, dtype=dtype)
+            if self.cfg.spatiotemp
+            else None
+        )
+        self.decoder_net = SalUNet(self.cfg.decoder, dtype=dtype)
 
     def encode_visual(self, rgb: jnp.ndarray) -> List[jnp.ndarray]:
         """rgb (B, T, H, W, 3) -> coarse-first 4-scale pyramid."""

@@ -74,14 +74,21 @@ class Mlp(nn.Module):
     act: Callable = gelu_exact
     dropout: float = 0.0
     kernel_init: Callable = salunet_init
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         out_features = self.out_features or x.shape[-1]
-        x = nn.Dense(self.hidden_features, kernel_init=self.kernel_init, name="fc1")(x)
+        x = nn.Dense(
+            self.hidden_features, kernel_init=self.kernel_init,
+            dtype=self.dtype, name="fc1",
+        )(x)
         x = self.act(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(out_features, kernel_init=self.kernel_init, name="fc2")(x)
+        x = nn.Dense(
+            out_features, kernel_init=self.kernel_init, dtype=self.dtype,
+            name="fc2",
+        )(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x
 
@@ -91,11 +98,13 @@ class ConvBNRelu(nn.Module):
 
     features: int
     kernel_init: Callable = salunet_init
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(
-            self.features, (3, 3), padding=1, kernel_init=self.kernel_init, name="conv"
+            self.features, (3, 3), padding=1, kernel_init=self.kernel_init,
+            dtype=self.dtype, name="conv",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"

@@ -45,6 +45,7 @@ class PatchEmbed3D(nn.Module):
     s=(2,4,4), pad=(1,3,3). Input (B, T, H, W, 3) -> (B, T'·H'·W', C)."""
 
     embed_dims: int = 96
+    dtype: Optional[jnp.dtype] = None
     kernel_size: Tuple[int, int, int] = (3, 7, 7)
     stride: Tuple[int, int, int] = (2, 4, 4)
     padding: Tuple[int, int, int] = (1, 3, 3)
@@ -57,6 +58,7 @@ class PatchEmbed3D(nn.Module):
             strides=self.stride,
             padding=[(p, p) for p in self.padding],
             kernel_init=vit_init,
+            dtype=self.dtype,
             name="projection",
         )(x)
         out_size = x.shape[1:4]
@@ -75,6 +77,7 @@ class AttentionPool(nn.Module):
     kernel: Tuple[int, int, int] = (3, 3, 3)
     with_cls_token: bool = True
     with_norm: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, in_size: Tuple[int, int, int]):
@@ -92,6 +95,7 @@ class AttentionPool(nn.Module):
             feature_group_count=C,
             use_bias=False,
             kernel_init=vit_init,
+            dtype=self.dtype,
             name="pool",
         )(x)
         out_size = x.shape[1:4]
@@ -147,6 +151,7 @@ class MultiScaleAttention(nn.Module):
     residual_pooling: bool = True
     with_cls_token: bool = True
     rel_pos_dims: Tuple[int, int] = (15, 111)  # (t_table_len, hw_table_len)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, in_size: Tuple[int, int, int]):
@@ -155,20 +160,23 @@ class MultiScaleAttention(nn.Module):
 
         qkv = nn.Dense(
             self.out_dims * 3, use_bias=self.qkv_bias, kernel_init=vit_init,
-            name="qkv",
+            dtype=self.dtype, name="qkv",
         )(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, N, heads, hd)
         q, k, v = (jnp.swapaxes(a, 1, 2) for a in (q, k, v))  # (B, heads, N, hd)
 
         q, q_shape = AttentionPool(
-            self.stride_q, self.pool_kernel, self.with_cls_token, name="pool_q"
+            self.stride_q, self.pool_kernel, self.with_cls_token,
+            dtype=self.dtype, name="pool_q",
         )(q, in_size)
         k, k_shape = AttentionPool(
-            self.stride_kv, self.pool_kernel, self.with_cls_token, name="pool_k"
+            self.stride_kv, self.pool_kernel, self.with_cls_token,
+            dtype=self.dtype, name="pool_k",
         )(k, in_size)
         v, _ = AttentionPool(
-            self.stride_kv, self.pool_kernel, self.with_cls_token, name="pool_v"
+            self.stride_kv, self.pool_kernel, self.with_cls_token,
+            dtype=self.dtype, name="pool_v",
         )(v, in_size)
 
         scale = head_dim**-0.5
@@ -199,7 +207,9 @@ class MultiScaleAttention(nn.Module):
                 out = out + q
 
         out = jnp.swapaxes(out, 1, 2).reshape(B, -1, self.out_dims)
-        out = nn.Dense(self.out_dims, kernel_init=vit_init, name="proj")(out)
+        out = nn.Dense(
+            self.out_dims, kernel_init=vit_init, dtype=self.dtype, name="proj"
+        )(out)
         return out, q_shape
 
 
@@ -220,6 +230,7 @@ class MultiScaleBlock(nn.Module):
     residual_pooling: bool = True
     with_cls_token: bool = True
     rel_pos_dims: Tuple[int, int] = (15, 111)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, in_size: Tuple[int, int, int]):
@@ -235,11 +246,15 @@ class MultiScaleBlock(nn.Module):
             residual_pooling=self.residual_pooling,
             with_cls_token=self.with_cls_token,
             rel_pos_dims=self.rel_pos_dims,
+            dtype=self.dtype,
             name="attn",
         )(x_norm, in_size)
 
         if self.in_dims != self.out_dims:
-            skip = nn.Dense(self.out_dims, kernel_init=vit_init, name="proj")(x_norm)
+            skip = nn.Dense(
+                self.out_dims, kernel_init=vit_init, dtype=self.dtype,
+                name="proj",
+            )(x_norm)
         else:
             skip = x
         if int(np.prod(self.stride_q)) > 1:
@@ -254,6 +269,7 @@ class MultiScaleBlock(nn.Module):
             out_features=self.out_dims,
             act=gelu_exact,
             kernel_init=vit_init,
+            dtype=self.dtype,
             name="mlp",
         )(x_norm2)
         return x + x_mlp, out_size
@@ -313,12 +329,15 @@ class MViT(nn.Module):
     (reference mvit.py:795-1152)."""
 
     cfg: MViTConfig
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
         cfg = self.cfg
         B = x.shape[0]
-        tokens, size = PatchEmbed3D(cfg.embed_dims, name="patch_embed")(x)
+        tokens, size = PatchEmbed3D(
+            cfg.embed_dims, dtype=self.dtype, name="patch_embed"
+        )(x)
 
         cls_token = self.param(
             "cls_token", nn.initializers.zeros, (1, 1, cfg.embed_dims)
@@ -343,6 +362,7 @@ class MViT(nn.Module):
                 residual_pooling=cfg.residual_pooling,
                 with_cls_token=cfg.with_cls_token,
                 rel_pos_dims=plan["rel_pos_dims"],
+                dtype=self.dtype,
                 name=f"blocks_{i}",
             )(tokens, size)
             stage = plan["emit_scale"]

@@ -67,6 +67,7 @@ class ResnetBlock(nn.Module):
 
     out_channels: int
     dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, temb, train: bool = False):
@@ -75,7 +76,7 @@ class ResnetBlock(nn.Module):
         h = jax.nn.silu(h)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, kernel_init=salunet_init,
-            name="conv1",
+            dtype=self.dtype, name="conv1",
         )(h)
         h = h + nn.Dense(
             self.out_channels, kernel_init=salunet_init, name="temb_proj"
@@ -85,7 +86,7 @@ class ResnetBlock(nn.Module):
         h = nn.Dropout(self.dropout)(h, deterministic=not train)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, kernel_init=salunet_init,
-            name="conv2",
+            dtype=self.dtype, name="conv2",
         )(h)
         if in_ch != self.out_channels:
             x = nn.Conv(
@@ -100,6 +101,7 @@ class Downsample(nn.Module):
     (reference sal_unet.py:47-64)."""
 
     stride: int = 2
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
@@ -109,6 +111,7 @@ class Downsample(nn.Module):
             strides=self.stride,
             padding=((0, 1), (0, 1)),
             kernel_init=salunet_init,
+            dtype=self.dtype,
             name="conv",
         )(x)
 
@@ -123,19 +126,21 @@ class NoiseEncoder(nn.Module):
     ch: int = 96
     out_channels: Sequence[int] = (192, 384, 768)
     dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, temb, train: bool = False) -> List[jnp.ndarray]:
         h = nn.Conv(
-            self.ch, (3, 3), padding=1, kernel_init=salunet_init, name="conv_in"
+            self.ch, (3, 3), padding=1, kernel_init=salunet_init,
+            dtype=self.dtype, name="conv_in",
         )(x)
-        h = Downsample(stride=4, name="down1")(h)
+        h = Downsample(stride=4, dtype=self.dtype, name="down1")(h)
         outs = []
         for i, out_c in enumerate(self.out_channels):
-            h = ResnetBlock(out_c, dropout=self.dropout, name=f"res{i}")(
-                h, temb, train=train
-            )
-            h = Downsample(name=f"res_down{i}")(h)
+            h = ResnetBlock(
+                out_c, dropout=self.dropout, dtype=self.dtype, name=f"res{i}"
+            )(h, temb, train=train)
+            h = Downsample(dtype=self.dtype, name=f"res_down{i}")(h)
             outs.append(h[:, None])  # add T=1 axis
         return outs[::-1]
 
@@ -160,6 +165,7 @@ class CvTAttention(nn.Module):
     stride_kv: int = 2
     padding_kv: int = 0
     qkv_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     def _conv_tokens(self, x_sp, kernel, stride, padding, name):
         c = x_sp.shape[-1]
@@ -171,6 +177,7 @@ class CvTAttention(nn.Module):
             feature_group_count=c,
             use_bias=False,
             kernel_init=salunet_init,
+            dtype=self.dtype,
             name=f"conv_proj_{name}",
         )(x_sp)
         y = y.reshape(y.shape[0], -1, c)
@@ -199,7 +206,8 @@ class CvTAttention(nn.Module):
         )
 
         dense = lambda n: nn.Dense(  # noqa: E731
-            C, use_bias=self.qkv_bias, kernel_init=salunet_init, name=n
+            C, use_bias=self.qkv_bias, kernel_init=salunet_init,
+            dtype=self.dtype, name=n,
         )
         hd = C // self.num_heads
         q = dense("proj_q")(q).reshape(Bt, -1, self.num_heads, hd)
@@ -211,7 +219,9 @@ class CvTAttention(nn.Module):
         attn = jnp.einsum("blhd,bthd->bhlt", q, k) * scale
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhlt,bthd->blhd", attn, v).reshape(Bt, -1, C)
-        return nn.Dense(C, kernel_init=salunet_init, name="proj")(out)
+        return nn.Dense(
+            C, kernel_init=salunet_init, dtype=self.dtype, name="proj"
+        )(out)
 
 
 def _scrambled_audio_tokens(ac: jnp.ndarray) -> jnp.ndarray:
@@ -233,6 +243,7 @@ class TransformerBlock(nn.Module):
     kernel_kv: int = 2
     stride_kv: int = 2
     audio_dim: int = 512
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -247,10 +258,17 @@ class TransformerBlock(nn.Module):
         audio_tokens = None
         if audio is not None:
             ac = nn.Conv(
-                C, (1, 1), kernel_init=salunet_init, name="align_conv"
+                C, (1, 1), kernel_init=salunet_init, dtype=self.dtype,
+                name="align_conv",
             )(audio)  # (B, Ta, ha, wa, C)
             ha, wa = ac.shape[2], ac.shape[3]
             if ha != H and wa != W:
+                if H // ha < 1:
+                    raise ValueError(
+                        f"audio grid ({ha},{wa}) must divide the video grid "
+                        f"({H},{W}); use audio inputs 16x the coarsest video "
+                        "scale (112x192 for 224x384 video)"
+                    )
                 ac = nearest_upsample(ac, H // ha, h_axis=2, w_axis=3)
             # av gate: mean over time of (audio*video), softmax over W
             # (reference transformer.py:141-145)
@@ -265,12 +283,14 @@ class TransformerBlock(nn.Module):
             num_heads=self.num_heads,
             kernel_kv=self.kernel_kv,
             stride_kv=self.stride_kv,
+            dtype=self.dtype,
             name="attn",
         )(attn_in, (H, W), audio_tokens)
         tokens = attn_out + tokens
 
         mlp_out = Mlp(
-            hidden_features=int(C * self.mlp_ratio), name="mlp"
+            hidden_features=int(C * self.mlp_ratio), dtype=self.dtype,
+            name="mlp",
         )(nn.LayerNorm(name="norm2")(tokens), deterministic=not train)
         tokens = tokens + DropPath(self.drop_path_rate, name="drop_path")(
             mlp_out, deterministic=not train
@@ -285,6 +305,7 @@ class UpEmbed(nn.Module):
     embed_dim: int
     patch_size: int = 3
     dilation: int = 2
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -299,6 +320,7 @@ class UpEmbed(nn.Module):
                 kernel_dilation=self.dilation,
                 use_bias=False,
                 kernel_init=salunet_init,
+                dtype=self.dtype,
                 name=f"conv{i}",
             )(frames)
             frames = nn.BatchNorm(
@@ -316,6 +338,7 @@ class ReduceTemp(nn.Module):
 
     embed_dim: int = 768
     temporal_dim: int = 5
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -326,6 +349,7 @@ class ReduceTemp(nn.Module):
             padding="VALID",
             use_bias=False,
             kernel_init=salunet_init,
+            dtype=self.dtype,
             name="conv",
         )(x)
         return nn.relu(y)
@@ -343,6 +367,7 @@ class TransformerStage(nn.Module):
     kernel_kv: int
     stride_kv: int
     has_patch_embed: bool
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -353,7 +378,9 @@ class TransformerStage(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:
         if self.has_patch_embed:
-            x = UpEmbed(self.embed_dim, name="patch_embed")(x, train=train)
+            x = UpEmbed(self.embed_dim, dtype=self.dtype, name="patch_embed")(
+                x, train=train
+            )
             # Reference adds backbone skips for stage 1 and 2 only
             # (transformer.py:265-270) — stage 3 gets none, so back_fea[3]
             # is dead. Stage 0 has no patch_embed at all.
@@ -365,6 +392,7 @@ class TransformerStage(nn.Module):
             drop_path_rate=self.drop_path_rate,
             kernel_kv=self.kernel_kv,
             stride_kv=self.stride_kv,
+            dtype=self.dtype,
             name="block",
         )(x, audio, train=train)
         return x
@@ -377,6 +405,7 @@ class Decoder(nn.Module):
     (112, 192) and summed; final conv-BN-ReLU to 96 channels."""
 
     cfg: SalUNetConfig
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -403,6 +432,7 @@ class Decoder(nn.Module):
                 kernel_kv=cfg.kernel_kv[i],
                 stride_kv=cfg.stride_kv[i],
                 has_patch_embed=cfg.patch_size[i] > 0,
+                dtype=self.dtype,
                 name=f"stage{i}",
             )(x, back_fea, audio, train=train)
 
@@ -410,12 +440,15 @@ class Decoder(nn.Module):
             task = ReduceTemp(
                 embed_dim=cfg.ori_embed_dim,
                 temporal_dim=cfg.temporal_list[i],
+                dtype=self.dtype,
                 name=f"redu_chan{i}",
             )(normed)
             task = task[:, 0]  # (B, h_i, w_i, 768)
             acc = acc + bilinear_resize(task, (th, tw))
 
-        return ConvBNRelu(cfg.down_embed_dim, name="mt_proj")(acc, train=train)
+        return ConvBNRelu(cfg.down_embed_dim, dtype=self.dtype, name="mt_proj")(
+            acc, train=train
+        )
 
 
 class SalUNet(nn.Module):
@@ -423,6 +456,7 @@ class SalUNet(nn.Module):
     (reference sal_unet.py:145-328)."""
 
     cfg: SalUNetConfig
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -439,6 +473,7 @@ class SalUNet(nn.Module):
             ch=cfg.noise_ch,
             out_channels=tuple(reversed(cfg.up_channel[:-1])),
             dropout=cfg.dropout,
+            dtype=self.dtype,
             name="noise_encoder",
         )(x, temb, train=train)
 
@@ -450,6 +485,8 @@ class SalUNet(nn.Module):
                         [feats[i], noisy[i].astype(feats[i].dtype)], axis=1
                     )
 
-        pred = Decoder(cfg, name="decoder")(feats, audio_feat, train=train)
-        pred = MLPHead(1, name="logits")(pred)
+        pred = Decoder(cfg, dtype=self.dtype, name="decoder")(
+            feats, audio_feat, train=train
+        )
+        pred = MLPHead(1, name="logits")(pred.astype(jnp.float32))
         return bilinear_resize(pred, cfg.img_size)

@@ -26,6 +26,7 @@ class VGGishFeatures(nn.Module):
     """The conv trunk; each 'M' is a 2x2 max-pool, each int a 3x3 conv+ReLU."""
 
     cfg: VGGishConfig = VGGishConfig()
+    dtype: "jnp.dtype" = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -35,7 +36,8 @@ class VGGishFeatures(nn.Module):
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
                 x = nn.Conv(
-                    int(v), (3, 3), padding=1, name=f"conv{conv_idx}"
+                    int(v), (3, 3), padding=1, dtype=self.dtype,
+                    name=f"conv{conv_idx}",
                 )(x)
                 x = nn.relu(x)
                 conv_idx += 1
@@ -44,9 +46,10 @@ class VGGishFeatures(nn.Module):
 
 class VGGish(nn.Module):
     cfg: VGGishConfig = VGGishConfig()
+    dtype: "jnp.dtype" = None
 
     def setup(self):
-        self.features = VGGishFeatures(self.cfg)
+        self.features = VGGishFeatures(self.cfg, dtype=self.dtype)
         # FC embedding head (unused by the saliency path, kept for parity
         # with the published vggish.pth contract).
         self.fc1 = nn.Dense(4096)

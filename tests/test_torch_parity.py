@@ -444,3 +444,137 @@ def test_audio_attn_parity():
     np.testing.assert_allclose(
         j2n(ours).reshape(2, -1, 64), t2n(ref), atol=2e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# MViT pooled multi-scale attention with decomposed rel-pos
+# ---------------------------------------------------------------------------
+
+
+from test_ops import _torch_resize_rel_pos  # noqa: E402
+
+
+class TorchMultiScaleAttention(nn.Module):
+    """Reference mvit.py:497-650 semantics: fused qkv, per-head depthwise
+    Conv3d pooling + LN, decomposed rel-pos bias, residual pooling, proj."""
+
+    def __init__(self, in_dims, out_dims, heads, stride_q, stride_kv,
+                 rel_dims, with_cls=True):
+        super().__init__()
+        self.heads = heads
+        self.out_dims = out_dims
+        self.head_dim = out_dims // heads
+        self.with_cls = with_cls
+        self.stride_q, self.stride_kv = stride_q, stride_kv
+        self.qkv = nn.Linear(in_dims, out_dims * 3, bias=True)
+        self.proj = nn.Linear(out_dims, out_dims)
+        hd = self.head_dim
+
+        def pool():
+            return nn.Conv3d(hd, hd, 3, stride=1, padding=1, groups=hd,
+                             bias=False)
+
+        self.pool_q, self.pool_k, self.pool_v = pool(), pool(), pool()
+        self.pool_q.stride = stride_q
+        self.pool_k.stride = stride_kv
+        self.pool_v.stride = stride_kv
+        self.norm_q = nn.LayerNorm(hd, eps=1e-6)
+        self.norm_k = nn.LayerNorm(hd, eps=1e-6)
+        self.norm_v = nn.LayerNorm(hd, eps=1e-6)
+        t_len, hw_len = rel_dims
+        self.rel_pos_t = nn.Parameter(torch.randn(t_len, hd) * 0.02)
+        self.rel_pos_h = nn.Parameter(torch.randn(hw_len, hd) * 0.02)
+        self.rel_pos_w = nn.Parameter(torch.randn(hw_len, hd) * 0.02)
+
+    def _pool(self, x, conv, norm, in_size):
+        B, H, L, C = x.shape
+        T, Hh, Ww = in_size
+        cls, tok = x[:, :, :1], x[:, :, 1:]
+        tok = tok.reshape(B * H, T, Hh, Ww, C).permute(0, 4, 1, 2, 3)
+        tok = conv(tok)
+        out_size = tok.shape[2:]
+        tok = tok.reshape(B, H, C, -1).transpose(2, 3)
+        out = torch.cat([cls, tok], dim=2)
+        return norm(out), tuple(out_size)
+
+    def forward(self, x, in_size):
+        B, N, _ = x.shape
+        qkv = self.qkv(x).reshape(B, N, 3, self.heads, self.head_dim)
+        q, k, v = qkv.permute(2, 0, 3, 1, 4).unbind(0)
+        q, q_shape = self._pool(q, self.pool_q, self.norm_q, in_size)
+        k, k_shape = self._pool(k, self.pool_k, self.norm_k, in_size)
+        v, _ = self._pool(v, self.pool_v, self.norm_v, in_size)
+
+        attn = (q * self.head_dim**-0.5) @ k.transpose(-2, -1)
+
+        # decomposed rel pos (reference mvit.py:369-401)
+        Rt = _torch_resize_rel_pos(self.rel_pos_t, q_shape[0], k_shape[0])
+        Rh = _torch_resize_rel_pos(self.rel_pos_h, q_shape[1], k_shape[1])
+        Rw = _torch_resize_rel_pos(self.rel_pos_w, q_shape[2], k_shape[2])
+        qt, qh, qw = q_shape
+        kt, kh, kw = k_shape
+        r_q = q[:, :, 1:].reshape(B, self.heads, qt, qh, qw, self.head_dim)
+        rel_t = torch.einsum("bythwc,tkc->bythwk", r_q, Rt)
+        rel_h = torch.einsum("bythwc,hkc->bythwk", r_q, Rh)
+        rel_w = torch.einsum("bythwc,wkc->bythwk", r_q, Rw)
+        bias = (
+            rel_t[..., :, None, None]
+            + rel_h[..., None, :, None]
+            + rel_w[..., None, None, :]
+        ).reshape(B, self.heads, qt * qh * qw, kt * kh * kw)
+        attn[:, :, 1:, 1:] = attn[:, :, 1:, 1:] + bias
+
+        attn = attn.softmax(-1)
+        out = attn @ v
+        out[:, :, 1:] = out[:, :, 1:] + q[:, :, 1:]
+        out = out.transpose(1, 2).reshape(B, -1, self.out_dims)
+        return self.proj(out)
+
+
+def test_mvit_attention_parity():
+    from diff_sal_tpu.models.mvit import MultiScaleAttention
+
+    in_dims, out_dims, heads = 24, 48, 2
+    in_size = (4, 8, 8)
+    rel_dims = (2 * 4 - 1, 2 * 8 - 1)
+    tm = TorchMultiScaleAttention(in_dims, out_dims, heads, (1, 1, 1),
+                                  (1, 2, 2), rel_dims)
+    N = 1 + 4 * 8 * 8
+    x = torch.randn(2, N, in_dims)
+    with torch.no_grad():
+        ref = tm(x.clone(), in_size)
+
+    params = {
+        "qkv": {"kernel": cv.linear_kernel(tm.qkv.weight),
+                "bias": cv._np(tm.qkv.bias)},
+        "proj": {"kernel": cv.linear_kernel(tm.proj.weight),
+                 "bias": cv._np(tm.proj.bias)},
+        "pool_q": {
+            "pool": {"kernel": cv.depthwise_conv3d_kernel(tm.pool_q.weight)},
+            "norm": {"scale": cv._np(tm.norm_q.weight),
+                     "bias": cv._np(tm.norm_q.bias)},
+        },
+        "pool_k": {
+            "pool": {"kernel": cv.depthwise_conv3d_kernel(tm.pool_k.weight)},
+            "norm": {"scale": cv._np(tm.norm_k.weight),
+                     "bias": cv._np(tm.norm_k.bias)},
+        },
+        "pool_v": {
+            "pool": {"kernel": cv.depthwise_conv3d_kernel(tm.pool_v.weight)},
+            "norm": {"scale": cv._np(tm.norm_v.weight),
+                     "bias": cv._np(tm.norm_v.bias)},
+        },
+        "attn" if False else "rel_pos_t": cv._np(tm.rel_pos_t),
+        "rel_pos_h": cv._np(tm.rel_pos_h),
+        "rel_pos_w": cv._np(tm.rel_pos_w),
+    }
+    m = MultiScaleAttention(
+        out_dims=out_dims, num_heads=heads, stride_q=(1, 1, 1),
+        stride_kv=(1, 2, 2), rel_pos_dims=rel_dims,
+    )
+    ours, _ = m.apply(
+        {"params": jax.tree.map(jnp.asarray, params)},
+        jnp.asarray(x.numpy()),
+        in_size,
+    )
+    np.testing.assert_allclose(j2n(ours), t2n(ref), atol=5e-4)

@@ -95,7 +95,8 @@ def test_frozen_vggish_receives_no_gradient():
     schedule = make_schedule("cosine", num_diffusion_timesteps=100)
     B = 1
     rgb = jnp.zeros((B, 16, *hw, 3))
-    audio = jnp.zeros((B, 9, 112, 192, 1))
+    # audio spatial must be 16x the coarsest video grid (2,3) at this size
+    audio = jnp.zeros((B, 9, 32, 48, 1))
     salmap = jnp.full((B, *hw, 1), 0.5)
     batch = {"rgb": rgb, "salmap": salmap, "audio": audio}
     variables = model.init(
