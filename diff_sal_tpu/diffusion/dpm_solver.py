@@ -415,3 +415,140 @@ def dpm_solver_sample(
     if sampling.denoise:
         x = solver.denoise_to_zero(x)
     return x
+
+
+# ---------------------------------------------------------------------------
+# Adaptive step-size solver (DPM-Solver-12) — data-dependent control flow via
+# lax.while_loop; schedule lookups become jnp.interp over the discrete grid
+# (reference sampler.py:973-1032).
+# ---------------------------------------------------------------------------
+
+
+class _TracedSchedule:
+    """jnp view of DiscreteVPSchedule for use inside traced loop bodies."""
+
+    def __init__(self, ns: DiscreteVPSchedule):
+        self.t_array = jnp.asarray(ns.t_array, jnp.float32)
+        self.log_alpha_array = jnp.asarray(ns.log_alpha_array, jnp.float32)
+        lambdas = np.asarray(ns.marginal_lambda(ns.t_array), np.float64)
+        self._lam_rev = jnp.asarray(lambdas[::-1].copy(), jnp.float32)
+        self._t_rev = jnp.asarray(ns.t_array[::-1].copy(), jnp.float32)
+        self.total_N = ns.total_N
+
+    def log_alpha(self, t):
+        return jnp.interp(t, self.t_array, self.log_alpha_array)
+
+    def alpha(self, t):
+        return jnp.exp(self.log_alpha(t))
+
+    def sigma(self, t):
+        return jnp.sqrt(1.0 - jnp.exp(2.0 * self.log_alpha(t)))
+
+    def lam(self, t):
+        la = self.log_alpha(t)
+        return la - 0.5 * jnp.log(1.0 - jnp.exp(2.0 * la))
+
+    def inverse_lambda(self, lamb):
+        return jnp.interp(lamb, self._lam_rev, self._t_rev)
+
+    def model_input_time(self, t):
+        return (t - 1.0 / self.total_N) * 1000.0
+
+
+def adaptive_sample(
+    schedule: DiffusionSchedule,
+    denoise_fn: DenoiseFn,
+    x: jnp.ndarray,
+    *,
+    training_target: str = "x0",
+    algorithm: str = "dpmsolver++",
+    atol: float = 0.0078,
+    rtol: float = 0.05,
+    theta: float = 0.9,
+    h_init: float = 0.05,
+    max_steps: int = 200,
+) -> jnp.ndarray:
+    """Adaptive DPM-Solver-12: first-order vs singlestep-second-order error
+    control with step acceptance, as a jittable while_loop."""
+    import jax
+
+    ns_host = DiscreteVPSchedule(np.asarray(schedule.betas))
+    ns = _TracedSchedule(ns_host)
+    t_0, t_T = ns_host.t_0, ns_host.T
+    lambda_0 = float(ns_host.marginal_lambda(t_0))
+    data_pred = algorithm == "dpmsolver++"
+
+    def model(x, t):
+        t_in = jnp.full((x.shape[0],), ns.model_input_time(t), jnp.float32)
+        raw = denoise_fn(x, t_in)
+        if training_target == "x0":
+            x0 = raw
+        else:
+            x0 = (x - ns.sigma(t) * raw) / ns.alpha(t)
+        if data_pred:
+            return x0
+        return (x - ns.alpha(t) * x0) / ns.sigma(t)
+
+    def first_order(x, s, t, m_s):
+        h = ns.lam(t) - ns.lam(s)
+        if data_pred:
+            return (ns.sigma(t) / ns.sigma(s)) * x - ns.alpha(t) * jnp.expm1(-h) * m_s
+        return (ns.alpha(t) / ns.alpha(s)) * x - ns.sigma(t) * jnp.expm1(h) * m_s
+
+    def second_order(x, s, t, m_s, r1=0.5):
+        h = ns.lam(t) - ns.lam(s)
+        s1 = ns.inverse_lambda(ns.lam(s) + r1 * h)
+        if data_pred:
+            x_s1 = (ns.sigma(s1) / ns.sigma(s)) * x - ns.alpha(s1) * jnp.expm1(
+                -r1 * h
+            ) * m_s
+            m_s1 = model(x_s1, s1)
+            return (
+                (ns.sigma(t) / ns.sigma(s)) * x
+                - ns.alpha(t) * jnp.expm1(-h) * m_s
+                - (0.5 / r1) * ns.alpha(t) * jnp.expm1(-h) * (m_s1 - m_s)
+            )
+        x_s1 = (ns.alpha(s1) / ns.alpha(s)) * x - ns.sigma(s1) * jnp.expm1(
+            r1 * h
+        ) * m_s
+        m_s1 = model(x_s1, s1)
+        return (
+            (ns.alpha(t) / ns.alpha(s)) * x
+            - ns.sigma(t) * jnp.expm1(h) * m_s
+            - (0.5 / r1) * ns.sigma(t) * jnp.expm1(h) * (m_s1 - m_s)
+        )
+
+    def cond(carry):
+        s, h, x, x_prev, nfe = carry
+        return jnp.logical_and(ns.lam(s) < lambda_0 - 1e-5, nfe < max_steps)
+
+    def body(carry):
+        s, h, x, x_prev, nfe = carry
+        t = ns.inverse_lambda(jnp.minimum(ns.lam(s) + h, lambda_0))
+        m_s = model(x, s)
+        x_lower = first_order(x, s, t, m_s)
+        x_higher = second_order(x, s, t, m_s)
+        delta = jnp.maximum(
+            atol, rtol * jnp.maximum(jnp.abs(x_lower), jnp.abs(x_prev)).max()
+        )
+        err = jnp.sqrt(jnp.mean((x_higher - x_lower) ** 2)) / delta
+        accept = err <= 1.0
+        s_new = jnp.where(accept, t, s)
+        x_new = jnp.where(accept, x_higher, x)
+        x_prev_new = jnp.where(accept, x_lower, x_prev)
+        h_new = jnp.minimum(
+            theta * h * jnp.maximum(err, 1e-10) ** -0.5,
+            lambda_0 - ns.lam(s_new),
+        )
+        return (s_new, h_new, x_new, x_prev_new, nfe + 2)
+
+    s0 = jnp.asarray(t_T, jnp.float32)
+    carry = (s0, jnp.asarray(h_init, jnp.float32), x, x, jnp.asarray(0))
+    s, h, x, _, nfe = jax.lax.while_loop(cond, body, carry)
+    # final denoise to x0
+    raw = denoise_fn(
+        x, jnp.full((x.shape[0],), ns.model_input_time(t_0), jnp.float32)
+    )
+    if training_target == "x0":
+        return raw
+    return (x - ns.sigma(t_0) * raw) / ns.alpha(t_0)

@@ -167,3 +167,32 @@ def test_noise_parameterized_model():
     y = sol.sample_multistep(x, steps=10, order=2)
     y = sol.denoise_to_zero(y)
     np.testing.assert_allclose(np.asarray(y), c, atol=1e-3)
+
+
+def test_adaptive_sampler_constant_model():
+    from diff_sal_tpu.diffusion.dpm_solver import adaptive_sample
+
+    schedule = make_schedule("cosine", num_diffusion_timesteps=1000)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 6, 6, 1).astype(np.float32))
+    out = adaptive_sample(
+        schedule, _const_model(0.4), x, training_target="x0",
+        algorithm="dpmsolver++",
+    )
+    np.testing.assert_allclose(np.asarray(out), 0.4, atol=2e-3)
+
+
+def test_adaptive_sampler_jits():
+    import jax
+
+    from diff_sal_tpu.diffusion.dpm_solver import adaptive_sample
+
+    schedule = make_schedule("cosine", num_diffusion_timesteps=1000)
+
+    def model(x, t):
+        return 0.8 * x
+
+    f = jax.jit(
+        lambda x: adaptive_sample(schedule, model, x, training_target="x0")
+    )
+    out = f(jnp.ones((1, 4, 4, 1)))
+    assert np.isfinite(np.asarray(out)).all()
