@@ -138,7 +138,7 @@ def cmd_eval_metrics(args):
         print(task, vals)
 
 
-def main(argv=None):
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="diff_sal_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
@@ -165,8 +165,11 @@ def main(argv=None):
     p.add_argument("--gt_root", required=True)
     p.add_argument("--processes", type=int, default=8)
     p.set_defaults(fn=cmd_eval_metrics)
+    return parser
 
-    args = parser.parse_args(argv)
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
     args.fn(args)
 
 
