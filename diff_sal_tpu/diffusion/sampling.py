@@ -53,25 +53,27 @@ def ddim_sample(
 ) -> jnp.ndarray:
     """Generalized DDIM sampling (eta-parameterized)."""
     pairs = ddim_timesteps(schedule.num_timesteps, timesteps)
-    times = jnp.asarray(np.array([p[0] for p in pairs], np.int32))
-    times_next = jnp.asarray(np.array([p[1] for p in pairs], np.int32))
     if rng is None:
         rng = jax.random.PRNGKey(0)
     B = x.shape[0]
 
-    def step(carry, inp):
-        x, rng = carry
-        time, time_next = inp
+    def step(x, rng, time, time_next):
+        """One DDIM update. `time`/`time_next` may be python ints (unrolled,
+        all coefficients constant-fold) or traced scalars (scan body)."""
         t_vec = jnp.full((B,), time)
         alpha = schedule.alphas_hat[time]
         if training_target == "x0":
             x_start = denoise_fn(x, t_vec)
+            if isinstance(time_next, int) and time_next < 0:
+                # final step of the chain: x = x_start, nothing else needed
+                return x_start, rng
             pred_noise = predict_noise_from_start(schedule, x, time, x_start)
         else:
             pred_noise = denoise_fn(x, t_vec)
             x_start = (x - pred_noise * jnp.sqrt(1.0 - alpha)) / jnp.sqrt(alpha)
+            if isinstance(time_next, int) and time_next < 0:
+                return x_start, rng
 
-        # when time_next < 0 the step output is x_start directly
         safe_next = jnp.maximum(time_next, 0)
         alpha_next = schedule.alphas_hat[safe_next]
         c1 = eta * jnp.sqrt(
@@ -85,13 +87,25 @@ def ddim_sample(
             + c1 * noise
             + c2 * pred_noise
         )
-        x_out = jnp.where(time_next < 0, x_start, x_stepped)
-        return (x_out, rng), None
+        x_out = jnp.where(jnp.asarray(time_next) < 0, x_start, x_stepped)
+        return x_out, rng
 
-    if len(pairs) == 1:
-        (x, _), _ = step((x, rng), (times[0], times_next[0]))
+    if len(pairs) <= 8:
+        # unrolled with static timesteps: every coefficient folds to a
+        # constant and the final step short-circuits to x_start
+        for time, time_next in pairs:
+            x, rng = step(x, rng, time, time_next)
         return x
-    (x, _), _ = jax.lax.scan(step, (x, rng), (times, times_next))
+
+    times = jnp.asarray(np.array([p[0] for p in pairs], np.int32))
+    times_next = jnp.asarray(np.array([p[1] for p in pairs], np.int32))
+
+    def scan_step(carry, inp):
+        x, rng = carry
+        x, rng = step(x, rng, inp[0], inp[1])
+        return (x, rng), None
+
+    (x, _), _ = jax.lax.scan(scan_step, (x, rng), (times, times_next))
     return x
 
 
