@@ -47,11 +47,20 @@ def main():
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     cfg = dataclasses.replace(ModelConfig.audio_visual(), compute_dtype=dtype)
     model = VideoSaliencyModel(cfg)
-    rng = jax.random.PRNGKey(0)
-    rgb = jax.random.normal(rng, (B, 16, 224, 384, 3), jnp.float32) * 0.5
-    audio = jax.random.normal(rng, (B, 9, 112, 192, 1), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    # rotate distinct inputs so no caching layer can shortcut real work
+    n_inputs = 4
+    rgbs = [
+        jax.random.normal(jax.random.fold_in(key, i), (B, 16, 224, 384, 3)) * 0.5
+        for i in range(n_inputs)
+    ]
+    audios = [
+        jax.random.normal(jax.random.fold_in(key, 50 + i), (B, 9, 112, 192, 1))
+        for i in range(n_inputs)
+    ]
+    rgb, audio = rgbs[0], audios[0]
 
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(1),
         {"rgb": rgb[:1], "input": jnp.zeros((1, 224, 384, 1)), "audio": audio[:1]},
         jnp.zeros((1,)),
@@ -74,12 +83,19 @@ def main():
     jax.block_until_ready(out)
     print(f"# compile+warmup {time.perf_counter() - t_c:.1f}s", file=sys.stderr)
 
-    iters = 20
+    iters = 40
     t0 = time.perf_counter()
     for i in range(iters):
-        out = pipeline(variables, rgb, audio, jax.random.PRNGKey(i))
+        out = pipeline(
+            variables, rgbs[i % n_inputs], audios[i % n_inputs],
+            jax.random.PRNGKey(i),
+        )
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+    # sanity: outputs are real saliency maps, not a DCE'd stub
+    o = out
+    assert o.shape == (B, 224, 384, 1) and float(o.min()) >= 0.0
+    assert float(o.max()) <= 1.0 and float(o.std()) > 0.0
 
     n_chips = jax.device_count()
     clips_per_sec = B * iters / dt / n_chips
