@@ -140,6 +140,9 @@ class MViTConfig:
     # rel-pos table sizes are computed from this training-time resolution
     # (reference hardcodes PatchEmbed3D(input_size=(16, 224, 224)), mvit.py:989-996)
     rel_pos_spatial_size: int = 224
+    # fused Pallas attention (ops/attention.py): streams q tiles against
+    # VMEM-resident k/v with on-the-fly rel-pos bias; TPU only
+    use_pallas_attention: bool = False
 
     @classmethod
     def small(cls, **kw) -> "MViTConfig":

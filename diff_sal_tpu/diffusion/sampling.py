@@ -58,21 +58,15 @@ def ddim_sample(
     B = x.shape[0]
 
     def step(x, rng, time, time_next):
-        """One DDIM update. `time`/`time_next` may be python ints (unrolled,
-        all coefficients constant-fold) or traced scalars (scan body)."""
+        """One DDIM update with traced scalar timesteps (scan body)."""
         t_vec = jnp.full((B,), time)
         alpha = schedule.alphas_hat[time]
         if training_target == "x0":
             x_start = denoise_fn(x, t_vec)
-            if isinstance(time_next, int) and time_next < 0:
-                # final step of the chain: x = x_start, nothing else needed
-                return x_start, rng
             pred_noise = predict_noise_from_start(schedule, x, time, x_start)
         else:
             pred_noise = denoise_fn(x, t_vec)
             x_start = (x - pred_noise * jnp.sqrt(1.0 - alpha)) / jnp.sqrt(alpha)
-            if isinstance(time_next, int) and time_next < 0:
-                return x_start, rng
 
         safe_next = jnp.maximum(time_next, 0)
         alpha_next = schedule.alphas_hat[safe_next]
@@ -91,10 +85,35 @@ def ddim_sample(
         return x_out, rng
 
     if len(pairs) <= 8:
-        # unrolled with static timesteps: every coefficient folds to a
-        # constant and the final step short-circuits to x_start
+        # unrolled with host-float coefficients: the whole update chain is
+        # elementwise ops with literal constants (no device gathers); the
+        # final step short-circuits to x_start
+        ah = np.asarray(schedule.alphas_hat, np.float64)
+        sa = np.asarray(schedule.sqrt_alphas_hat, np.float64)
+        sra = np.asarray(schedule.sqrt_recip_alphas_hat, np.float64)
+        srm = np.asarray(schedule.sqrt_recipm1_alphas_hat, np.float64)
         for time, time_next in pairs:
-            x, rng = step(x, rng, time, time_next)
+            t_vec = jnp.full((B,), time)
+            if training_target == "x0":
+                x_start = denoise_fn(x, t_vec)
+                if time_next < 0:
+                    return x_start
+                pred_noise = (float(sra[time]) * x - x_start) / float(srm[time])
+            else:
+                pred_noise = denoise_fn(x, t_vec)
+                x_start = (
+                    x - pred_noise * float(np.sqrt(1.0 - ah[time]))
+                ) / float(np.sqrt(ah[time]))
+                if time_next < 0:
+                    return x_start
+            alpha, alpha_next = float(ah[time]), float(ah[time_next])
+            c1 = eta * float(
+                np.sqrt((1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha))
+            )
+            c2 = float(np.sqrt(max((1 - alpha_next) - c1**2, 0.0)))
+            rng, sub = jax.random.split(rng)
+            noise = jax.random.normal(sub, x.shape, x.dtype) if eta > 0 else 0.0
+            x = float(sa[time_next]) * x_start + c1 * noise + c2 * pred_noise
         return x
 
     times = jnp.asarray(np.array([p[0] for p in pairs], np.int32))

@@ -152,6 +152,7 @@ class MultiScaleAttention(nn.Module):
     with_cls_token: bool = True
     rel_pos_dims: Tuple[int, int] = (15, 111)  # (t_table_len, hw_table_len)
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, in_size: Tuple[int, int, int]):
@@ -180,8 +181,7 @@ class MultiScaleAttention(nn.Module):
         )(v, in_size)
 
         scale = head_dim**-0.5
-        attn = jnp.einsum("bhlc,bhtc->bhlt", q * scale, k)
-
+        rel_pos_t = rel_pos_h = rel_pos_w = None
         if self.rel_pos_embed:
             rel_pos_t = self.param(
                 "rel_pos_t", nn.initializers.zeros, (self.rel_pos_dims[0], head_dim)
@@ -192,13 +192,46 @@ class MultiScaleAttention(nn.Module):
             rel_pos_w = self.param(
                 "rel_pos_w", nn.initializers.zeros, (self.rel_pos_dims[1], head_dim)
             )
-            attn = add_decomposed_rel_pos(
-                attn, q, q_shape, k_shape, rel_pos_t, rel_pos_h, rel_pos_w,
-                self.with_cls_token,
-            )
 
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhlt,bhtc->bhlc", attn, v)
+        if (
+            self.use_pallas
+            and self.rel_pos_embed
+            and self.with_cls_token
+        ):
+            from diff_sal_tpu.ops.attention import fused_bias_attention
+            from diff_sal_tpu.ops.rel_pos import resize_rel_pos
+
+            qt, qh, qw = q_shape
+            kt, kh, kw = k_shape
+            H = self.num_heads
+            Rt = resize_rel_pos(rel_pos_t, qt, kt)
+            Rh = resize_rel_pos(rel_pos_h, qh, kh)
+            Rw = resize_rel_pos(rel_pos_w, qw, kw)
+            r_q = q[:, :, 1:].reshape(B, H, qt, qh, qw, head_dim)
+            L = qt * qh * qw
+
+            def contract(R, axis_len, eq):
+                r = jnp.einsum(eq, r_q, R).reshape(B * H, L, axis_len)
+                return jnp.pad(r, ((0, 0), (1, 0), (0, 0)))  # zero cls row
+
+            rel_t = contract(Rt, kt, "bythwc,tkc->bythwk")
+            rel_h = contract(Rh, kh, "bythwc,hkc->bythwk")
+            rel_w = contract(Rw, kw, "bythwc,wkc->bythwk")
+            out = fused_bias_attention(
+                q.reshape(B * H, -1, head_dim),
+                k.reshape(B * H, -1, head_dim),
+                v.reshape(B * H, -1, head_dim),
+                rel_t, rel_h, rel_w, k_shape, scale,
+            ).reshape(B, H, -1, head_dim)
+        else:
+            attn = jnp.einsum("bhlc,bhtc->bhlt", q * scale, k)
+            if self.rel_pos_embed:
+                attn = add_decomposed_rel_pos(
+                    attn, q, q_shape, k_shape, rel_pos_t, rel_pos_h,
+                    rel_pos_w, self.with_cls_token,
+                )
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhlt,bhtc->bhlc", attn, v)
 
         if self.residual_pooling:
             if self.with_cls_token:
@@ -231,6 +264,7 @@ class MultiScaleBlock(nn.Module):
     with_cls_token: bool = True
     rel_pos_dims: Tuple[int, int] = (15, 111)
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, in_size: Tuple[int, int, int]):
@@ -247,6 +281,7 @@ class MultiScaleBlock(nn.Module):
             with_cls_token=self.with_cls_token,
             rel_pos_dims=self.rel_pos_dims,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name="attn",
         )(x_norm, in_size)
 
@@ -363,6 +398,7 @@ class MViT(nn.Module):
                 with_cls_token=cfg.with_cls_token,
                 rel_pos_dims=plan["rel_pos_dims"],
                 dtype=self.dtype,
+                use_pallas=cfg.use_pallas_attention,
                 name=f"blocks_{i}",
             )(tokens, size)
             stage = plan["emit_scale"]

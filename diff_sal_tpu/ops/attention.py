@@ -1,0 +1,189 @@
+"""Pallas TPU kernel: fused pooled-attention with decomposed rel-pos bias.
+
+The MViT encoder's hot attention has a very asymmetric shape: Lq up to
+1 + 8*56*96 = 43009 query tokens against only Lk = 1 + 8*7*12 = 673
+kv tokens (kv-stride pooling, reference mvit.py:935,1019). The XLA path
+materializes the (B, H, Lq, Lk) logits plus the same-shaped rel-pos bias in
+HBM; this kernel streams q in tiles, keeps k/v entirely in VMEM, adds the
+decomposed (T, H, W) relative-position bias on the fly, and writes only the
+(Lq, D) output — the attention matrix never exists in HBM.
+
+Bias trick: the decomposed bias for column j >= 1 is
+    rel_t[l, kt(j)] + rel_h[l, kh(j)] + rel_w[l, kw(j)]
+with (kt, kh, kw) = unravel(j - 1). Instead of per-column gathers, each term
+becomes a small matmul with a static one-hot expansion matrix
+E_t (kt, Lk_pad), E_h (kh, Lk_pad), E_w (kw, Lk_pad):
+    bias_tile = rel_t_tile @ E_t + rel_h_tile @ E_h + rel_w_tile @ E_w
+which lands on the MXU. The cls row's bias is zero by zero-padding the rel
+inputs at row 0; the cls column and the Lk padding get zero/-inf through the
+same matrices plus a static additive mask row.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.lru_cache(maxsize=None)
+def _expansion_matrices(
+    k_shape: Tuple[int, int, int], lk: int, lk_pad: int
+):
+    """Static one-hot matrices E_t/E_h/E_w (axis_len, lk_pad) mapping each
+    padded key column to its (kt, kh, kw) coordinate, plus the additive
+    column mask (1, lk_pad): 0 for real columns, NEG_INF for padding."""
+    kt, kh, kw = k_shape
+    Et = np.zeros((kt, lk_pad), np.float32)
+    Eh = np.zeros((kh, lk_pad), np.float32)
+    Ew = np.zeros((kw, lk_pad), np.float32)
+    for j in range(1, lk):  # column 0 is cls: zero bias
+        t, rem = divmod(j - 1, kh * kw)
+        h, w = divmod(rem, kw)
+        Et[t, j] = 1.0
+        Eh[h, j] = 1.0
+        Ew[w, j] = 1.0
+    mask = np.full((1, lk_pad), NEG_INF, np.float32)
+    mask[0, :lk] = 0.0
+    return Et, Eh, Ew, mask
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, rt_ref, rh_ref, rw_ref, et_ref, eh_ref,
+                 ew_ref, mask_ref, o_ref, *, scale: float):
+    # blocked refs carry a leading unit (batch*head) dim
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        q * scale, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Tq, Lk_pad)
+    bias = (
+        jnp.dot(rt_ref[0].astype(jnp.float32), et_ref[:],
+                preferred_element_type=jnp.float32)
+        + jnp.dot(rh_ref[0].astype(jnp.float32), eh_ref[:],
+                  preferred_element_type=jnp.float32)
+        + jnp.dot(rw_ref[0].astype(jnp.float32), ew_ref[:],
+                  preferred_element_type=jnp.float32)
+    )
+    scores = scores + bias + mask_ref[:]
+    probs = jax.nn.softmax(scores, axis=-1)
+    o_ref[0] = jnp.dot(
+        probs, v_ref[0].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _reference_bias_attention(q, k, v, rel_t, rel_h, rel_w, k_shape, scale):
+    """XLA-path math, used as the custom-VJP backward (the fused kernel is
+    the forward; gradients re-derive through this equivalent formulation)."""
+    BH, Lq, _ = q.shape
+    kt, kh, kw = k_shape
+    scores = jnp.einsum("blc,btc->blt", q * scale, k)
+    bias_cols = (
+        rel_t[:, :, :, None, None]
+        + rel_h[:, :, None, :, None]
+        + rel_w[:, :, None, None, :]
+    ).reshape(BH, Lq, kt * kh * kw)
+    bias = jnp.pad(bias_cols, ((0, 0), (0, 0), (1, 0)))
+    probs = jax.nn.softmax(scores + bias, axis=-1)
+    return jnp.einsum("blt,btc->blc", probs, v)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9)
+)
+def fused_bias_attention(
+    q: jnp.ndarray,  # (BH, Lq, D) — cls token at row 0
+    k: jnp.ndarray,  # (BH, Lk, D)
+    v: jnp.ndarray,  # (BH, Lk, D)
+    rel_t: jnp.ndarray,  # (BH, Lq, kt) — row 0 (cls) must be zero
+    rel_h: jnp.ndarray,  # (BH, Lq, kh)
+    rel_w: jnp.ndarray,  # (BH, Lq, kw)
+    k_shape: Tuple[int, int, int],
+    scale: float = 1.0,
+    q_tile: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """softmax(q k^T * scale + decomposed-bias) v without materializing the
+    attention matrix. Returns (BH, Lq, D) in q's dtype."""
+    BH, Lq, D = q.shape
+    Lk = k.shape[1]
+    kt, kh, kw = k_shape
+    assert Lk == 1 + kt * kh * kw
+
+    lk_pad = _round_up(Lk, 128)
+    # keep the f32 scores/bias tiles + kv within VMEM: ~3 * Tq * Lk_pad * 4B
+    # plus kv/q blocks must stay well under the ~16 MB budget
+    while q_tile > 128 and 3 * q_tile * lk_pad * 4 > 6 * 1024 * 1024:
+        q_tile //= 2
+    lq_pad = _round_up(Lq, q_tile)
+    Et, Eh, Ew, maskrow = _expansion_matrices((kt, kh, kw), Lk, lk_pad)
+
+    qp = jnp.pad(q, ((0, 0), (0, lq_pad - Lq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, lk_pad - Lk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, lk_pad - Lk), (0, 0)))
+    rtp = jnp.pad(rel_t, ((0, 0), (0, lq_pad - Lq), (0, 0)))
+    rhp = jnp.pad(rel_h, ((0, 0), (0, lq_pad - Lq), (0, 0)))
+    rwp = jnp.pad(rel_w, ((0, 0), (0, lq_pad - Lq), (0, 0)))
+
+    grid = (BH, lq_pad // q_tile)
+    qspec = pl.BlockSpec((1, q_tile, D), lambda b, i: (b, i, 0))
+    kvspec = pl.BlockSpec((1, lk_pad, D), lambda b, i: (b, 0, 0))
+
+    def rspec(n):
+        return pl.BlockSpec((1, q_tile, n), lambda b, i: (b, i, 0))
+
+    def cspec(r, c):
+        return pl.BlockSpec((r, c), lambda b, i: (0, 0))
+
+    kernel = functools.partial(_attn_kernel, scale=scale)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            qspec, kvspec, kvspec, rspec(kt), rspec(kh), rspec(kw),
+            cspec(kt, lk_pad), cspec(kh, lk_pad), cspec(kw, lk_pad),
+            cspec(1, lk_pad),
+        ],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((BH, lq_pad, D), q.dtype),
+        interpret=interpret,
+    )(
+        qp, kp, vp, rtp, rhp, rwp,
+        jnp.asarray(Et), jnp.asarray(Eh), jnp.asarray(Ew), jnp.asarray(maskrow),
+    )
+    return out[:, :Lq]
+
+
+def _fba_fwd(q, k, v, rel_t, rel_h, rel_w, k_shape, scale, q_tile, interpret):
+    out = fused_bias_attention(
+        q, k, v, rel_t, rel_h, rel_w, k_shape, scale, q_tile, interpret
+    )
+    return out, (q, k, v, rel_t, rel_h, rel_w)
+
+
+def _fba_bwd(k_shape, scale, q_tile, interpret, res, g):
+    q, k, v, rel_t, rel_h, rel_w = res
+    _, vjp = jax.vjp(
+        lambda q, k, v, rt, rh, rw: _reference_bias_attention(
+            q, k, v, rt, rh, rw, k_shape, scale
+        ),
+        q, k, v, rel_t, rel_h, rel_w,
+    )
+    return vjp(g)
+
+
+fused_bias_attention.defvjp(_fba_fwd, _fba_bwd)

@@ -132,9 +132,10 @@ class Trainer:
                 batch_stats=restored["batch_stats"],
                 step=restored["step"],
             )
-            self.epoch = int(restored["epoch"])
+            # continue AFTER the last completed epoch
+            self.epoch = int(restored["epoch"]) + 1
             self.global_step = int(restored["step"])
-            print(f"resumed from epoch {self.epoch}, step {self.global_step}")
+            print(f"resumed at epoch {self.epoch}, step {self.global_step}")
 
     def _save(self, epoch: int):
         payload = {

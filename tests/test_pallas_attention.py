@@ -1,0 +1,92 @@
+"""Correctness of the fused bias-attention Pallas kernel (interpret mode on
+CPU) against the reference jnp formulation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diff_sal_tpu.ops.attention import fused_bias_attention
+
+
+def reference_attention(q, k, v, rel_t, rel_h, rel_w, k_shape, scale):
+    """The XLA-path math (mirrors MultiScaleAttention + rel-pos add)."""
+    BH, Lq, D = q.shape
+    kt, kh, kw = k_shape
+    scores = jnp.einsum("blc,btc->blt", q * scale, k)
+    # bias for cols >= 1 from decomposed terms; rows' cls handled by zeroed
+    # rel rows
+    bias_cols = (
+        rel_t[:, :, :, None, None]
+        + rel_h[:, :, None, :, None]
+        + rel_w[:, :, None, None, :]
+    ).reshape(BH, Lq, kt * kh * kw)
+    bias = jnp.pad(bias_cols, ((0, 0), (0, 0), (1, 0)))
+    probs = jax.nn.softmax(scores + bias, axis=-1)
+    return jnp.einsum("blt,btc->blc", probs, v)
+
+
+@pytest.mark.parametrize(
+    "q_grid,k_shape,D",
+    [((4, 8, 8), (4, 2, 2), 32), ((8, 14, 24), (8, 7, 12), 96)],
+)
+def test_fused_attention_matches_reference(q_grid, k_shape, D):
+    rng = np.random.RandomState(0)
+    BH = 2
+    Lq = 1 + int(np.prod(q_grid))
+    Lk = 1 + int(np.prod(k_shape))
+    q = jnp.asarray(rng.randn(BH, Lq, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(BH, Lk, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(BH, Lk, D).astype(np.float32))
+    # rel inputs with zeroed cls row
+    def rel(n):
+        r = rng.randn(BH, Lq, n).astype(np.float32) * 0.1
+        r[:, 0] = 0.0
+        return jnp.asarray(r)
+
+    rel_t, rel_h, rel_w = rel(k_shape[0]), rel(k_shape[1]), rel(k_shape[2])
+    scale = D**-0.5
+
+    got = fused_bias_attention(
+        q, k, v, rel_t, rel_h, rel_w, k_shape, scale=scale, q_tile=256,
+        interpret=True,
+    )
+    want = reference_attention(q, k, v, rel_t, rel_h, rel_w, k_shape, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_fused_attention_grad_matches():
+    rng = np.random.RandomState(1)
+    BH, D = 1, 32
+    q_grid, k_shape = (2, 4, 4), (2, 2, 2)
+    Lq = 1 + int(np.prod(q_grid))
+    Lk = 1 + int(np.prod(k_shape))
+    q = jnp.asarray(rng.randn(BH, Lq, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(BH, Lk, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(BH, Lk, D).astype(np.float32))
+    zr = lambda n: jnp.asarray(  # noqa: E731
+        np.concatenate(
+            [np.zeros((BH, 1, n)), rng.randn(BH, Lq - 1, n) * 0.1], axis=1
+        ).astype(np.float32)
+    )
+    rel_t, rel_h, rel_w = zr(2), zr(2), zr(2)
+
+    def f_fused(q, k, v):
+        return jnp.sum(
+            fused_bias_attention(
+                q, k, v, rel_t, rel_h, rel_w, k_shape, scale=0.2, q_tile=64,
+                interpret=True,
+            )
+            ** 2
+        )
+
+    def f_ref(q, k, v):
+        return jnp.sum(
+            reference_attention(q, k, v, rel_t, rel_h, rel_w, k_shape, 0.2)
+            ** 2
+        )
+
+    g1 = jax.grad(f_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)

@@ -82,7 +82,11 @@ def test_overfit_one_batch_loss_decreases():
 def test_frozen_vggish_receives_no_gradient():
     from diff_sal_tpu.config import AudioAttnConfig, VGGishConfig
 
-    hw = (64, 96)
+    # hw must give a stage-0 grid of at least (4, 3): with a smaller grid the
+    # kv pooling (kernel 2, stride 2) collapses to a single key token and
+    # softmax over one key is constant -> the audio branch gets zero gradient
+    # by construction, not by bug
+    hw = (128, 96)
     cfg = ExperimentConfig(
         model=ModelConfig(
             visual=MViTConfig.tiny(spatial_size=hw),
@@ -94,10 +98,12 @@ def test_frozen_vggish_receives_no_gradient():
     model = VideoSaliencyModel(cfg.model)
     schedule = make_schedule("cosine", num_diffusion_timesteps=100)
     B = 1
-    rgb = jnp.zeros((B, 16, *hw, 3))
-    # audio spatial must be 16x the coarsest video grid (2,3) at this size
-    audio = jnp.zeros((B, 9, 32, 48, 1))
-    salmap = jnp.full((B, *hw, 1), 0.5)
+    # nonzero inputs: exact zeros kill the audio-branch gradient (q=0 at the
+    # cross-attention) and make LayerNorm backward pathological
+    rgb = jax.random.normal(jax.random.PRNGKey(10), (B, 16, *hw, 3)) * 0.3
+    # audio spatial must be 16x the coarsest video grid (4,3) at this size
+    audio = jax.random.normal(jax.random.PRNGKey(11), (B, 9, 64, 48, 1)) * 0.3
+    salmap = jax.random.uniform(jax.random.PRNGKey(12), (B, *hw, 1))
     batch = {"rgb": rgb, "salmap": salmap, "audio": audio}
     variables = model.init(
         jax.random.PRNGKey(0),
