@@ -143,6 +143,9 @@ class MViTConfig:
     # fused Pallas attention (ops/attention.py): streams q tiles against
     # VMEM-resident k/v with on-the-fly rel-pos bias; TPU only
     use_pallas_attention: bool = False
+    # rematerialize each block in the backward pass (trade FLOPs for HBM) —
+    # enables the reference's 4x(batch 12) recipe on a single 16 GB chip
+    remat: bool = False
 
     @classmethod
     def small(cls, **kw) -> "MViTConfig":

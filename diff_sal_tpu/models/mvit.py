@@ -382,9 +382,14 @@ class MViT(nn.Module):
                 [jnp.broadcast_to(cls_token, (B, 1, cfg.embed_dims)), tokens], axis=1
             )
 
+        block_cls = MultiScaleBlock
+        if cfg.remat:
+            # in_size (arg index 2 incl. module) is a static python tuple
+            block_cls = nn.remat(MultiScaleBlock, static_argnums=(2,))
+
         outs = []
         for i, plan in enumerate(_block_plan(cfg)):
-            tokens, size = MultiScaleBlock(
+            tokens, size = block_cls(
                 in_dims=plan["in_dims"],
                 out_dims=plan["out_dims"],
                 num_heads=plan["num_heads"],
