@@ -114,10 +114,15 @@ def fused_bias_attention(
     k_shape: Tuple[int, int, int],
     scale: float = 1.0,
     q_tile: int = 512,
-    interpret: bool = False,
+    interpret: bool = None,
 ) -> jnp.ndarray:
     """softmax(q k^T * scale + decomposed-bias) v without materializing the
-    attention matrix. Returns (BH, Lq, D) in q's dtype."""
+    attention matrix. Returns (BH, Lq, D) in q's dtype.
+
+    interpret=None auto-selects: compiled on TPU, interpreter elsewhere (so
+    the integrated path stays testable on the CPU backend)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     BH, Lq, D = q.shape
     Lk = k.shape[1]
     kt, kh, kw = k_shape

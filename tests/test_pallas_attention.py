@@ -90,3 +90,33 @@ def test_fused_attention_grad_matches():
     g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_mvit_pallas_path_matches_xla_path():
+    """Integrated check: MViT with use_pallas_attention on (interpret mode on
+    CPU) matches the XLA path with identical params."""
+    import dataclasses
+
+    from diff_sal_tpu.config import MViTConfig
+    from diff_sal_tpu.models.mvit import MViT
+
+    cfg_x = MViTConfig.tiny(spatial_size=(64, 64))
+    cfg_p = dataclasses.replace(cfg_x, use_pallas_attention=True)
+    m_x, m_p = MViT(cfg_x), MViT(cfg_p)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 64, 64, 3)) * 0.3
+    v = m_x.init(jax.random.PRNGKey(1), x)
+    # give the rel-pos tables non-zero values so the bias path is exercised
+    import jax as _jax
+
+    v = {"params": _jax.tree_util.tree_map_with_path(
+        lambda p, l: (
+            l + 0.02 * np.sin(np.arange(l.size)).reshape(l.shape).astype(l.dtype)
+            if "rel_pos" in _jax.tree_util.keystr(p)
+            else l
+        ),
+        v["params"],
+    )}
+    o_x = m_x.apply(v, x)
+    o_p = m_p.apply(v, x)
+    for a, b in zip(o_x, o_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
