@@ -90,6 +90,10 @@ class TrainingConfig:
     # (diffusion_trainer.py:111-114). Set False for per-sample t (improvement).
     shared_timestep_per_batch: bool = True
     seed: int = 0
+    # parameter EMA (reference ships a dead helper with ema: false,
+    # cfgs/diffusion.yml:21 — ours works, same default)
+    ema: bool = False
+    ema_rate: float = 0.9999
 
 
 @dataclasses.dataclass(frozen=True)

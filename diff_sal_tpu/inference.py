@@ -99,3 +99,27 @@ def sample_saliency(
         raise NotImplementedError(sampling.sample_type)
 
     return inverse_data_transform(data_cfg, x)
+
+
+def sample_saliency_from_wave(
+    model: VideoSaliencyModel,
+    variables,
+    schedule: DiffusionSchedule,
+    sampling: SamplingConfig,
+    data_cfg: DataTransformConfig,
+    rgb: jnp.ndarray,
+    wave16k: jnp.ndarray,  # (B, 25600) 16 kHz excerpts
+    rng: Optional[jax.Array] = None,
+    training_target: str = "x0",
+) -> jnp.ndarray:
+    """Fully fused TPU pipeline including the audio DSP frontend: raw 16 kHz
+    wave excerpts -> log-mel examples -> VGGish -> ... -> saliency maps, one
+    compiled program (the reference computes the mel frontend in numpy on
+    CPU dataloader workers, SURVEY.md §2.4)."""
+    from diff_sal_tpu.audio.mel import device_audio_frontend
+
+    audio = device_audio_frontend(wave16k)
+    return sample_saliency(
+        model, variables, schedule, sampling, data_cfg, rgb, audio, rng,
+        training_target,
+    )

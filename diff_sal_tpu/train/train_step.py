@@ -28,18 +28,21 @@ from diff_sal_tpu.train.losses import eval_scores, training_loss
 
 class TrainState(train_state.TrainState):
     batch_stats: Any = None
+    ema_params: Any = None  # parameter EMA shadow (None when disabled)
 
 
 def create_train_state(
     model: VideoSaliencyModel,
     variables,
     tx: optax.GradientTransformation,
+    use_ema: bool = False,
 ) -> TrainState:
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
         tx=tx,
         batch_stats=variables.get("batch_stats", flax.core.freeze({})),
+        ema_params=variables["params"] if use_ema else None,
     )
 
 
@@ -91,6 +94,14 @@ def make_train_step(
         new_state = state.apply_gradients(grads=grads).replace(
             batch_stats=mutated["batch_stats"]
         )
+        if state.ema_params is not None:
+            from diff_sal_tpu.train.ema import ema_update
+
+            new_state = new_state.replace(
+                ema_params=ema_update(
+                    state.ema_params, new_state.params, cfg.training.ema_rate
+                )
+            )
         metrics = {k: v for k, v in loss_dict.items()}
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics

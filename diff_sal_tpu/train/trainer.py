@@ -110,7 +110,9 @@ class Trainer:
             data["audio"] = jnp.asarray(sample_batch["audio"][:1])
         variables = self.model.init(rng, data, jnp.zeros((1,)))
         print("param counts (M):", param_counts(variables))
-        self.state = create_train_state(self.model, variables, self.tx)
+        self.state = create_train_state(
+            self.model, variables, self.tx, use_ema=self.cfg.training.ema
+        )
         if self.mesh is not None:
             self.state = jax.device_put(self.state, self._repl)
         return self.state

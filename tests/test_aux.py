@@ -147,3 +147,48 @@ def test_dpm_solver_in_pipeline_small_model():
     o = np.asarray(out)
     assert o.shape == (1, *hw, 1)
     assert np.isfinite(o).all() and o.min() >= 0 and o.max() <= 1
+
+
+def test_ema_in_train_state():
+    """Optional EMA wired through the train step (reference ships a dead EMA
+    helper; ours is functional behind training.ema)."""
+    import dataclasses
+
+    from diff_sal_tpu.config import (
+        ExperimentConfig, MViTConfig, ModelConfig, SalUNetConfig,
+        TrainingConfig,
+    )
+    from diff_sal_tpu.diffusion.schedule import make_schedule
+    from diff_sal_tpu.models.diff_model import VideoSaliencyModel
+    from diff_sal_tpu.train.optim import make_optimizer
+    from diff_sal_tpu.train.train_step import create_train_state, make_train_step
+
+    hw = (64, 96)
+    cfg = ExperimentConfig(
+        model=ModelConfig(
+            visual=MViTConfig.tiny(spatial_size=hw),
+            decoder=SalUNetConfig(img_size=hw),
+        ),
+        training=TrainingConfig(batch_size=1, ema=True, ema_rate=0.5),
+    )
+    model = VideoSaliencyModel(cfg.model)
+    schedule = make_schedule("cosine", num_diffusion_timesteps=10)
+    rgb = jax.random.normal(jax.random.PRNGKey(0), (1, 16, *hw, 3)) * 0.2
+    salmap = jax.random.uniform(jax.random.PRNGKey(1), (1, *hw, 1))
+    variables = model.init(
+        jax.random.PRNGKey(2),
+        {"rgb": rgb, "input": jnp.zeros((1, *hw, 1))},
+        jnp.zeros((1,)),
+    )
+    tx = make_optimizer(cfg.optim, 10, 1)
+    state = create_train_state(model, variables, tx, use_ema=True)
+    step = jax.jit(make_train_step(model, schedule, cfg))
+    new_state, _ = step(state, {"rgb": rgb, "salmap": salmap},
+                        jax.random.PRNGKey(3))
+    # shadow moved halfway (rate 0.5) between old and new params
+    p0 = jax.tree.leaves(state.params)[0]
+    p1 = jax.tree.leaves(new_state.params)[0]
+    e1 = jax.tree.leaves(new_state.ema_params)[0]
+    np.testing.assert_allclose(
+        np.asarray(e1), 0.5 * np.asarray(p0) + 0.5 * np.asarray(p1), atol=1e-6
+    )
