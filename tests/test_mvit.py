@@ -74,3 +74,17 @@ def test_mvit_param_count_plausible():
     params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 64, 3)))
     n = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
     assert 30e6 < n < 40e6, n
+
+
+def test_patch_embed_matmul_equals_conv():
+    """The patches-matmul stem is numerically identical to the conv stem."""
+    from diff_sal_tpu.models.mvit import PatchEmbed3D
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 32, 48, 3))
+    m1 = PatchEmbed3D(32, as_matmul=True)
+    m2 = PatchEmbed3D(32, as_matmul=False)
+    v = m1.init(jax.random.PRNGKey(1), x)
+    o1, s1 = m1.apply(v, x)
+    o2, s2 = m2.apply(v, x)
+    assert s1 == s2 == (4, 8, 12)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-5)
