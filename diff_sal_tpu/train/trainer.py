@@ -209,19 +209,25 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def evaluate(
-        self, loader, save_images_dir: Optional[str] = None
+        self, loader, save_images_dir: Optional[str] = None,
+        use_ema: bool = False,
     ) -> Dict[str, float]:
         """Validation/test loop (reference val/test/test_av_data,
         diffusion_trainer.py:642-896): sample with the configured sampler,
         average nss+cc+sim over the *full* set (not a rank shard)."""
         meters = AverageMeterDict()
         rng = jax.random.PRNGKey(0)
+        state = self.state
+        if use_ema and state.ema_params is not None:
+            from diff_sal_tpu.train.ema import swap_in_ema
+
+            state = swap_in_ema(state, state.ema_params)
         for batch in loader:
             rng, step_rng = jax.random.split(rng)
             db = _device_batch(batch)
             if self.mesh is not None:
                 db = shard_batch(db, self.mesh)
-            scores = self.eval_step(self.state, db, step_rng)
+            scores = self.eval_step(state, db, step_rng)
             n = batch["rgb"].shape[0]
             meters.update({k: float(v) for k, v in scores.items()}, n)
             if save_images_dir:
