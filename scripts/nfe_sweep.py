@@ -28,6 +28,9 @@ def main():
     cfg = dataclasses.replace(
         ModelConfig.audio_visual(), compute_dtype="bfloat16"
     )
+    cfg = dataclasses.replace(
+        cfg, visual=dataclasses.replace(cfg.visual, use_pallas_attention=True)
+    )
     model = VideoSaliencyModel(cfg)
     key = jax.random.PRNGKey(0)
     N = 20
