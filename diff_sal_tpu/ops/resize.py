@@ -43,14 +43,28 @@ def bilinear_resize(
 ) -> jnp.ndarray:
     """Bilinear-resize the (H, W) axes of a channel-last array.
 
-    Default layout (..., H, W, C). Works for any rank; dtype is preserved
-    (weights are f32, accumulation in input dtype's promoted type).
+    Default layout (..., H, W, C). Works for any rank; dtype is preserved.
+    For the common (..., H, W, C) layout the contraction is emitted as an
+    einsum that keeps the axis order — no moveaxis transposes of large
+    activations (a profiled cost in the decoder's multi-scale sum).
     """
     out_h, out_w = out_hw
     h_axis = h_axis % x.ndim
     w_axis = w_axis % x.ndim
     in_h, in_w = x.shape[h_axis], x.shape[w_axis]
     dtype = x.dtype
+
+    if h_axis == x.ndim - 3 and w_axis == x.ndim - 2:
+        lead = x.shape[: x.ndim - 3]
+        xf = x.astype(jnp.float32).reshape((-1,) + x.shape[-3:])
+        if in_h != out_h:
+            wh = jnp.asarray(_linear_weights(in_h, out_h), dtype=jnp.float32)
+            xf = jnp.einsum("oh,bhwc->bowc", wh, xf)
+        if in_w != out_w:
+            ww = jnp.asarray(_linear_weights(in_w, out_w), dtype=jnp.float32)
+            xf = jnp.einsum("ow,bhwc->bhoc", ww, xf)
+        return xf.reshape(lead + (out_h, out_w, x.shape[-1])).astype(dtype)
+
     if in_h != out_h:
         wh = jnp.asarray(_linear_weights(in_h, out_h), dtype=jnp.float32)
         x = jnp.tensordot(wh, x.astype(jnp.float32), axes=((1,), (h_axis,)))
