@@ -55,7 +55,7 @@ class _PatchProjection(nn.Module):
     stride: Tuple[int, int, int]
     padding: Tuple[int, int, int]
     dtype: Optional[jnp.dtype] = None
-    as_matmul: bool = False
+    as_matmul: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -97,9 +97,9 @@ class PatchEmbed3D(nn.Module):
     kernel_size: Tuple[int, int, int] = (3, 7, 7)
     stride: Tuple[int, int, int] = (2, 4, 4)
     padding: Tuple[int, int, int] = (1, 3, 3)
-    # measured a wash on v5e (patches tensor costs the HBM the conv saves);
-    # kept as an option for other chip generations
-    as_matmul: bool = False
+    # within-process A/B on v5e: patches-matmul is ~10% faster end-to-end
+    # (37.5 vs 41.4 ms/iter); conv lowering kept as an option
+    as_matmul: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
