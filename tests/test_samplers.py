@@ -99,3 +99,27 @@ def test_ddpm_matches_reference_posterior_mean_single_step():
     c1 = float(sch.posterior_mean_coef1[0])
     c2 = float(sch.posterior_mean_coef2[0])
     np.testing.assert_allclose(out, c1 * 0.25 + c2 * 2.0, rtol=1e-5)
+
+
+def test_ddim_scan_path_matches_unrolled():
+    """timesteps > 8 uses lax.scan with traced coefficients; it must agree
+    with the host-float unrolled path (same equations)."""
+    sch = make_schedule("cosine", num_diffusion_timesteps=160)
+
+    def denoise_fn(x, t_vec):
+        return 0.7 * x + 0.05
+
+    x0 = jnp.asarray(
+        np.random.RandomState(5).randn(1, 4, 4, 1).astype(np.float32)
+    )
+    # 16 steps -> scan; compute the same chain manually via the unrolled
+    # equations using the module's own step math at 8-step granularity is not
+    # equivalent, so compare directly against the numpy transcription:
+    got = np.asarray(ddim_sample(sch, denoise_fn, x0, timesteps=16, eta=0.0))
+    sch_np = {"alphas_hat": np.asarray(sch.alphas_hat)}
+
+    def denoise_np(x, t):
+        return 0.7 * x + 0.05
+
+    want = _numpy_ddim(sch_np, denoise_np, np.asarray(x0).copy(), timesteps=16)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=1e-5)
