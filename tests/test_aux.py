@@ -192,3 +192,17 @@ def test_ema_in_train_state():
     np.testing.assert_allclose(
         np.asarray(e1), 0.5 * np.asarray(p0) + 0.5 * np.asarray(p1), atol=1e-6
     )
+
+
+def test_aggregate_results(tmp_path):
+    from diff_sal_tpu.metrics.offline import aggregate_results
+
+    d = tmp_path / "results"
+    d.mkdir()
+    (d / "run1.csv").write_text("Task,CC\na,0.5\n")
+    (d / "run2.csv").write_text("Task,CC\nb,0.7\n")
+    out = aggregate_results(str(d), str(tmp_path / "all.csv"))
+    import pandas as pd
+
+    df = pd.read_csv(out)
+    assert len(df) == 2 and set(df["source"]) == {"run1.csv", "run2.csv"}
