@@ -19,7 +19,8 @@ jax.config.update("jax_compilation_cache_dir", ".jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-from diff_sal_tpu.config import ModelConfig, visual_experiment
+from diff_sal_tpu.config import (ModelConfig, audio_visual_experiment,
+                                 visual_experiment)
 from diff_sal_tpu.diffusion.schedule import make_schedule
 from diff_sal_tpu.models.diff_model import VideoSaliencyModel
 from diff_sal_tpu.train.optim import make_optimizer
@@ -29,7 +30,8 @@ from diff_sal_tpu.train.train_step import create_train_state, make_train_step
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
-    cfg = visual_experiment()
+    av = len(sys.argv) > 3 and sys.argv[3] == "av"
+    cfg = audio_visual_experiment() if av else visual_experiment()
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, compute_dtype=dtype)
     )
@@ -47,10 +49,17 @@ def main():
         }
         for i in range(4)
     ]
+    if av:
+        for i, b in enumerate(batches):
+            b["audio"] = jax.random.normal(
+                jax.random.fold_in(key, 300 + i), (B, 9, 112, 192, 1)
+            )
+    init_data = {"rgb": batches[0]["rgb"][:1],
+                 "input": jnp.zeros((1, 224, 384, 1))}
+    if av:
+        init_data["audio"] = batches[0]["audio"][:1]
     variables = jax.jit(model.init)(
-        jax.random.PRNGKey(1),
-        {"rgb": batches[0]["rgb"][:1], "input": jnp.zeros((1, 224, 384, 1))},
-        jnp.zeros((1,)),
+        jax.random.PRNGKey(1), init_data, jnp.zeros((1,)),
     )
     tx = make_optimizer(cfg.optim, steps_per_epoch=1000, n_epochs=3)
     state = create_train_state(model, variables, tx)
@@ -70,8 +79,8 @@ def main():
     jax.block_until_ready(metrics)
     dt = (time.perf_counter() - t0) / iters
     print(
-        f"{dtype} B={B}: {dt*1e3:.1f} ms/step -> {B/dt:.1f} clips/s/chip "
-        f"(loss {float(metrics['total']):.2f})"
+        f"{dtype} B={B} {'av' if av else 'visual'}: {dt*1e3:.1f} ms/step -> "
+        f"{B/dt:.1f} clips/s/chip (loss {float(metrics['total']):.2f})"
     )
 
 
