@@ -41,13 +41,19 @@ def _pool_out_size(size: Tuple[int, int, int], stride: Tuple[int, int, int]):
 
 
 class _PatchProjection(nn.Module):
-    """The stem conv's parameters + two equivalent lowering strategies.
+    """The stem conv's parameters + three equivalent lowering strategies.
 
     With 3 input channels, TPU convolutions run far below peak (the profiled
-    stem fusion + its layout copy cost ~3.7 ms/step); extracting patches and
-    projecting with one big MXU matmul is mathematically identical and much
-    faster. Param tree matches nn.Conv (kernel (kt,kh,kw,I,O), bias (O,)) so
-    checkpoint conversion is unaffected.
+    stem fusion + its layout copy cost ~3.7 ms/step). Alternatives, all
+    mathematically identical with the same param tree as nn.Conv
+    (kernel (kt,kh,kw,I,O), bias (O,)):
+
+      'patches' — im2col + one big MXU matmul (+10% e2e over 'conv' on v5e,
+        but materializes a 76 MB patches tensor),
+      's2d'     — space-to-depth by the stride (2,4,4): the kernel embeds
+        into a (4,8,8) grid at offset (1,1,1) (stride-aligned left padding),
+        turning the stem into a dense (2,2,2) conv with 96 input channels —
+        MXU-aligned, no patches tensor.
     """
 
     embed_dims: int
@@ -55,7 +61,7 @@ class _PatchProjection(nn.Module):
     stride: Tuple[int, int, int]
     padding: Tuple[int, int, int]
     dtype: Optional[jnp.dtype] = None
-    as_matmul: bool = True
+    mode: str = "s2d"  # conv | patches | s2d
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -66,7 +72,7 @@ class _PatchProjection(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.embed_dims,))
         dt = self.dtype or x.dtype
         pad = [(p, p) for p in self.padding]
-        if self.as_matmul:
+        if self.mode == "patches":
             patches = jax.lax.conv_general_dilated_patches(
                 x.astype(dt),
                 filter_shape=self.kernel_size,
@@ -78,11 +84,65 @@ class _PatchProjection(nn.Module):
                 -1, self.embed_dims
             )
             return patches @ km.astype(dt) + bias.astype(dt)
+        if self.mode == "s2d":
+            return self._s2d(x, kernel, bias, dt)
         out = jax.lax.conv_general_dilated(
             x.astype(dt),
             kernel.astype(dt),
             window_strides=self.stride,
             padding=pad,
+            dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+        )
+        return out + bias.astype(dt)
+
+    def _s2d(self, x, kernel, bias, dt):
+        """Space-to-depth lowering. Requires kernel <= 2*stride - 1 and
+        padding == kernel // 2 per axis (true for the (3,7,7)/(2,4,4)/(1,3,3)
+        stem), and input dims divisible by the stride."""
+        B = x.shape[0]
+        in_c = x.shape[-1]
+        strides = self.stride
+        for i, (k, s, p) in enumerate(
+            zip(self.kernel_size, strides, self.padding)
+        ):
+            assert k <= 2 * s - 1 and p == k // 2, (k, s, p)
+            assert x.shape[1 + i] % s == 0, (x.shape, strides)
+
+        # pad each spatial dim by one full stride on the left: windows then
+        # align to [block_o, block_o+1]
+        xp = jnp.pad(
+            x.astype(dt),
+            ((0, 0),) + tuple((s, 0) for s in strides) + ((0, 0),),
+        )
+        T, H, W = xp.shape[1:4]
+        st, sh, sw = strides
+        bt, bh, bw = T // st, H // sh, W // sw
+        x6 = xp.reshape(B, bt, st, bh, sh, bw, sw, in_c)
+        x_s2d = jnp.transpose(x6, (0, 1, 3, 5, 2, 4, 6, 7)).reshape(
+            B, bt, bh, bw, st * sh * sw * in_c
+        )
+
+        # embed the kernel into a (2s_t, 2s_h, 2s_w) grid at offset
+        # (s - k//2 - ... ) == (s - p - 1 + ... ): window rows are
+        # [s*o - p .. s*o + p] -> padded rows [s*o + s - p .. s*o + s + p],
+        # i.e. offset (s - p) within the two-block (2s) span
+        kt, kh, kw = self.kernel_size
+        pt, ph, pw = self.padding
+        kp = jnp.zeros(
+            (2 * st, 2 * sh, 2 * sw, in_c, self.embed_dims), kernel.dtype
+        )
+        kp = jax.lax.dynamic_update_slice(
+            kp, kernel, (st - pt, sh - ph, sw - pw, 0, 0)
+        )
+        k6 = kp.reshape(2, st, 2, sh, 2, sw, in_c, self.embed_dims)
+        k_s2d = jnp.transpose(k6, (0, 2, 4, 1, 3, 5, 6, 7)).reshape(
+            2, 2, 2, st * sh * sw * in_c, self.embed_dims
+        )
+        out = jax.lax.conv_general_dilated(
+            x_s2d,
+            k_s2d.astype(dt),
+            window_strides=(1, 1, 1),
+            padding="VALID",
             dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
         )
         return out + bias.astype(dt)
@@ -97,9 +157,9 @@ class PatchEmbed3D(nn.Module):
     kernel_size: Tuple[int, int, int] = (3, 7, 7)
     stride: Tuple[int, int, int] = (2, 4, 4)
     padding: Tuple[int, int, int] = (1, 3, 3)
-    # within-process A/B on v5e: patches-matmul is ~10% faster end-to-end
-    # (37.5 vs 41.4 ms/iter); conv lowering kept as an option
-    as_matmul: bool = True
+    # within-process A/B on v5e: patches > conv by ~10% e2e; s2d avoids the
+    # patches tensor entirely (see _PatchProjection)
+    mode: str = "s2d"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -109,7 +169,7 @@ class PatchEmbed3D(nn.Module):
             self.stride,
             self.padding,
             dtype=self.dtype,
-            as_matmul=self.as_matmul,
+            mode=self.mode,
             name="projection",
         )(x)
         out_size = x.shape[1:4]

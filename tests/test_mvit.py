@@ -76,15 +76,19 @@ def test_mvit_param_count_plausible():
     assert 30e6 < n < 40e6, n
 
 
-def test_patch_embed_matmul_equals_conv():
-    """The patches-matmul stem is numerically identical to the conv stem."""
+def test_patch_embed_modes_equal():
+    """All stem lowerings (conv / patches-matmul / space-to-depth) are
+    numerically identical."""
     from diff_sal_tpu.models.mvit import PatchEmbed3D
 
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 32, 48, 3))
-    m1 = PatchEmbed3D(32, as_matmul=True)
-    m2 = PatchEmbed3D(32, as_matmul=False)
-    v = m1.init(jax.random.PRNGKey(1), x)
-    o1, s1 = m1.apply(v, x)
-    o2, s2 = m2.apply(v, x)
-    assert s1 == s2 == (4, 8, 12)
-    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-5)
+    m_conv = PatchEmbed3D(32, mode="conv")
+    m_pat = PatchEmbed3D(32, mode="patches")
+    m_s2d = PatchEmbed3D(32, mode="s2d")
+    v = m_conv.init(jax.random.PRNGKey(1), x)
+    o_conv, s_conv = m_conv.apply(v, x)
+    o_pat, s_pat = m_pat.apply(v, x)
+    o_s2d, s_s2d = m_s2d.apply(v, x)
+    assert s_conv == s_pat == s_s2d == (4, 8, 12)
+    np.testing.assert_allclose(np.asarray(o_pat), np.asarray(o_conv), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(o_s2d), np.asarray(o_conv), atol=2e-5)
