@@ -333,6 +333,7 @@ class MultiScaleAttention(nn.Module):
                 k.reshape(B * H, -1, head_dim),
                 v.reshape(B * H, -1, head_dim),
                 rel_t, rel_h, rel_w, k_shape, scale,
+                residual=self.residual_pooling,  # fused in-kernel
             ).reshape(B, H, -1, head_dim)
         else:
             attn = jnp.einsum("bhlc,bhtc->bhlt", q * scale, k)
@@ -343,12 +344,11 @@ class MultiScaleAttention(nn.Module):
                 )
             attn = jax.nn.softmax(attn, axis=-1)
             out = jnp.einsum("bhlt,bhtc->bhlc", attn, v)
-
-        if self.residual_pooling:
-            if self.with_cls_token:
-                out = out.at[:, :, 1:].add(q[:, :, 1:])
-            else:
-                out = out + q
+            if self.residual_pooling:
+                if self.with_cls_token:
+                    out = out.at[:, :, 1:].add(q[:, :, 1:])
+                else:
+                    out = out + q
 
         out = jnp.swapaxes(out, 1, 2).reshape(B, -1, self.out_dims)
         out = nn.Dense(

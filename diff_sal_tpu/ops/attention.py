@@ -60,7 +60,8 @@ def _expansion_matrices(
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, rt_ref, rh_ref, rw_ref, et_ref, eh_ref,
-                 ew_ref, mask_ref, o_ref, *, scale: float):
+                 ew_ref, mask_ref, o_ref, *, scale: float,
+                 residual: bool, q_tile: int):
     # blocked refs carry a leading unit (batch*head) dim
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
@@ -79,10 +80,18 @@ def _attn_kernel(q_ref, k_ref, v_ref, rt_ref, rh_ref, rw_ref, et_ref, eh_ref,
     )
     scores = scores + bias + mask_ref[:]
     probs = jax.nn.softmax(scores, axis=-1)
-    o_ref[0] = jnp.dot(
+    out = jnp.dot(
         probs, v_ref[0].astype(jnp.float32),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    )
+    if residual:
+        # residual pooling (reference mvit.py:640-644): out[1:] += q[1:];
+        # the cls row (global row 0, first tile only) is excluded
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (out.shape[0], 1), 0
+        ) + pl.program_id(1) * q_tile
+        out = out + jnp.where(rows >= 1, q, 0.0)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _reference_bias_attention(q, k, v, rel_t, rel_h, rel_w, k_shape, scale):
@@ -102,7 +111,7 @@ def _reference_bias_attention(q, k, v, rel_t, rel_h, rel_w, k_shape, scale):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10)
 )
 def fused_bias_attention(
     q: jnp.ndarray,  # (BH, Lq, D) — cls token at row 0
@@ -115,6 +124,7 @@ def fused_bias_attention(
     scale: float = 1.0,
     q_tile: int = 512,
     interpret: bool = None,
+    residual: bool = False,
 ) -> jnp.ndarray:
     """softmax(q k^T * scale + decomposed-bias) v without materializing the
     attention matrix. Returns (BH, Lq, D) in q's dtype.
@@ -153,7 +163,9 @@ def fused_bias_attention(
     def cspec(r, c):
         return pl.BlockSpec((r, c), lambda b, i: (0, 0))
 
-    kernel = functools.partial(_attn_kernel, scale=scale)
+    kernel = functools.partial(
+        _attn_kernel, scale=scale, residual=residual, q_tile=q_tile
+    )
 
     out = pl.pallas_call(
         kernel,
@@ -173,21 +185,25 @@ def fused_bias_attention(
     return out[:, :Lq]
 
 
-def _fba_fwd(q, k, v, rel_t, rel_h, rel_w, k_shape, scale, q_tile, interpret):
+def _fba_fwd(q, k, v, rel_t, rel_h, rel_w, k_shape, scale, q_tile, interpret,
+             residual):
     out = fused_bias_attention(
-        q, k, v, rel_t, rel_h, rel_w, k_shape, scale, q_tile, interpret
+        q, k, v, rel_t, rel_h, rel_w, k_shape, scale, q_tile, interpret,
+        residual,
     )
     return out, (q, k, v, rel_t, rel_h, rel_w)
 
 
-def _fba_bwd(k_shape, scale, q_tile, interpret, res, g):
+def _fba_bwd(k_shape, scale, q_tile, interpret, residual, res, g):
     q, k, v, rel_t, rel_h, rel_w = res
-    _, vjp = jax.vjp(
-        lambda q, k, v, rt, rh, rw: _reference_bias_attention(
-            q, k, v, rt, rh, rw, k_shape, scale
-        ),
-        q, k, v, rel_t, rel_h, rel_w,
-    )
+
+    def ref(q, k, v, rt, rh, rw):
+        out = _reference_bias_attention(q, k, v, rt, rh, rw, k_shape, scale)
+        if residual:
+            out = out.at[:, 1:].add(q[:, 1:])
+        return out
+
+    _, vjp = jax.vjp(ref, q, k, v, rel_t, rel_h, rel_w)
     return vjp(g)
 
 

@@ -120,3 +120,31 @@ def test_mvit_pallas_path_matches_xla_path():
     o_p = m_p.apply(v, x)
     for a, b in zip(o_x, o_p):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_fused_attention_residual_flag():
+    """In-kernel residual pooling (out[1:] += q[1:], cls excluded) matches
+    the explicit outer add."""
+    rng = np.random.RandomState(4)
+    BH, D = 2, 32
+    q_grid, k_shape = (4, 8, 8), (4, 2, 2)
+    Lq = 1 + int(np.prod(q_grid))
+    Lk = 1 + int(np.prod(k_shape))
+    q = jnp.asarray(rng.randn(BH, Lq, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(BH, Lk, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(BH, Lk, D).astype(np.float32))
+
+    def zrel(n):
+        r = rng.randn(BH, Lq, n).astype(np.float32) * 0.1
+        r[:, 0] = 0
+        return jnp.asarray(r)
+
+    rel = [zrel(2), zrel(2), zrel(2)]
+    plain = fused_bias_attention(
+        q, k, v, *rel, k_shape, 0.2, 64, True, False
+    )
+    fused = fused_bias_attention(
+        q, k, v, *rel, k_shape, 0.2, 64, True, True
+    )
+    want = plain.at[:, 1:].add(q[:, 1:])
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(want), atol=1e-5)
