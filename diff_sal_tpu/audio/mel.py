@@ -133,32 +133,35 @@ def repeat_to_audio_len(examples: np.ndarray, audio_len: int = AUDIO_LEN):
     return examples[:audio_len]
 
 
-def examples_to_model_audio(examples: np.ndarray) -> np.ndarray:
-    """(N, 64, 64) -> (9, 112, 192, 1) float32 model input: repeat/trim to 9
+def examples_to_model_audio(examples: np.ndarray, hw=None) -> np.ndarray:
+    """(N, 64, 64) -> (9, H, W, 1) float32 model input: repeat/trim to 9
     + bilinear resize per example (reference saliency_db.py:343-354 audio
-    transform Resize((112, 192)))."""
+    transform Resize((112, 192))). `hw` defaults to the reference (112, 192);
+    smaller sizes support reduced-resolution video configs (the audio grid
+    must stay 16x the coarsest video scale)."""
     import cv2
 
+    hw = tuple(hw) if hw is not None else MODEL_AUDIO_HW
     examples = repeat_to_audio_len(np.asarray(examples))
-    out = np.empty((AUDIO_LEN, *MODEL_AUDIO_HW, 1), np.float32)
+    out = np.empty((AUDIO_LEN, *hw, 1), np.float32)
     for i, ex in enumerate(examples):
         out[i, :, :, 0] = cv2.resize(
             ex.astype(np.float32),
-            (MODEL_AUDIO_HW[1], MODEL_AUDIO_HW[0]),
+            (hw[1], hw[0]),
             interpolation=cv2.INTER_LINEAR,
         )
     return out
 
 
 def clip_audio_to_model_input(
-    wave: np.ndarray, sample_rate: int, is_silent: bool = False
+    wave: np.ndarray, sample_rate: int, is_silent: bool = False, hw=None
 ) -> np.ndarray:
-    """Full host path for one clip excerpt -> (9, 112, 192, 1)."""
+    """Full host path for one clip excerpt -> (9, 112, 192, 1) by default."""
     if is_silent:
         ex = waveform_to_examples_np(np.zeros(MAX_AUDIO_WIN), sample_rate)
     else:
         ex = waveform_to_examples_np(center_pad_excerpt(wave), sample_rate)
-    return examples_to_model_audio(ex)
+    return examples_to_model_audio(ex, hw)
 
 
 # ---------------------------------------------------------------------------

@@ -124,6 +124,49 @@ def cmd_test(args):
     print(json.dumps({k: round(v, 4) for k, v in scores.items()}))
 
 
+def cmd_test_av(args):
+    """AV inference entry (reference test_av_data, diffusion_trainer.py:
+    823-896): per split, load that split's best weights, run the exhaustive
+    (step-1) 6-dataset test loaders, dump predictions to the
+    '{split}_results/<ds>/<vid>/pred_sal_%06d.jpg' contract and print the
+    nss+cc+sim scores. Optionally scores the dumps offline to CSV."""
+    from diff_sal_tpu.data.av_dataset import build_av_datasets
+    from diff_sal_tpu.data.loader import Loader
+    from diff_sal_tpu.train.trainer import Trainer
+
+    with open(args.dataset_json) as f:
+        data_config = json.load(f)
+    cfg = _make_cfg(args, audio_visual=True)
+    all_scores = {}
+    for split in args.splits.split(","):
+        ds = build_av_datasets(data_config, split, train=False, exhaustive=True)
+        loader = Loader(
+            ds, cfg.training.batch_size, shuffle=False, drop_last=False,
+            pad_last=True, num_workers=args.n_threads,
+        )
+        t = Trainer(
+            cfg, os.path.join(args.workdir, split), steps_per_epoch=1,
+            use_mesh=not args.no_mesh,
+        )
+        t.init_state(next(iter(loader)))
+        t.restore_best()
+        result_dir = os.path.join(args.workdir, f"{split}_results")
+        scores = t.evaluate(
+            loader, save_images_dir=result_dir if args.save_img else None
+        )
+        all_scores[split] = {k: round(v, 4) for k, v in scores.items()}
+        print(json.dumps({split: all_scores[split]}))
+        if args.save_img and args.gt_root:
+            from diff_sal_tpu.metrics.offline import evaluate_predictions
+
+            res = evaluate_predictions(
+                result_dir, args.gt_root, "av", processes=args.processes
+            )
+            for task, vals in res.items():
+                print(split, task, vals)
+    print(json.dumps(all_scores))
+
+
 def cmd_eval_metrics(args):
     from diff_sal_tpu.metrics.offline import evaluate_predictions
 
@@ -158,6 +201,16 @@ def build_parser() -> argparse.ArgumentParser:
     _common(p)
     p.add_argument("--out_dir", default="results")
     p.set_defaults(fn=cmd_test)
+
+    p = sub.add_parser("test-av")
+    _common(p)
+    p.add_argument("--dataset_json", default="cfgs/dataset.json")
+    p.add_argument("--splits", default="split1,split2,split3")
+    p.add_argument("--save_img", action="store_true")
+    p.add_argument("--gt_root", default=None,
+                   help="score dumped images offline to CSV when given")
+    p.add_argument("--processes", type=int, default=8)
+    p.set_defaults(fn=cmd_test_av)
 
     p = sub.add_parser("eval-metrics")
     p.add_argument("prediction_path")

@@ -116,11 +116,13 @@ class AVSaliencyDataset:
         sample_duration: int = 16,
         step_duration: int = 90,
         img_size: Tuple[int, int] = (224, 384),
+        audio_size: Tuple[int, int] = (112, 192),
         resample_zero_gt: bool = True,
     ):
         self.name = name
         self.with_audio = with_audio
         self.img_size = img_size
+        self.audio_size = tuple(audio_size)
         self.sample_duration = sample_duration
         self.exhaustive = exhaustive_sampling
         self.resample_zero_gt = resample_zero_gt
@@ -202,7 +204,7 @@ class AVSaliencyDataset:
             lo = a["starts"][indices[0]]
             hi = a["ends"][indices[-1]]
             item["audio"] = clip_audio_to_model_input(
-                a["wav"][lo : hi + 1], a["sr"]
+                a["wav"][lo : hi + 1], a["sr"], hw=self.audio_size
             )
         return item
 
@@ -245,6 +247,10 @@ def build_av_datasets(
                 img_size=(
                     data_config.get("sample_size", [384, 224])[1],
                     data_config.get("sample_size", [384, 224])[0],
+                ),
+                audio_size=(
+                    data_config.get("audio_size", [192, 112])[1],
+                    data_config.get("audio_size", [192, 112])[0],
                 ),
             )
         )

@@ -120,6 +120,84 @@ def _dynamic_threshold(x0: jnp.ndarray, ratio: float = 0.995, max_val: float = 1
     return jnp.clip(x0, -s, s) / s
 
 
+def model_wrapper(
+    model_fn: Callable,
+    ns: DiscreteVPSchedule,
+    *,
+    model_type: str = "noise",  # noise | x_start | v | score
+    guidance_type: str = "uncond",  # uncond | classifier | classifier-free
+    condition=None,
+    unconditional_condition=None,
+    guidance_scale: float = 1.0,
+    classifier_fn: Optional[Callable] = None,
+) -> Callable[[jnp.ndarray, float], jnp.ndarray]:
+    """Wrap a network into a continuous-time NOISE predictor with optional
+    guidance (reference models/dpm_solver/sampler.py:170-334).
+
+    `model_fn(x, t_input_vec, cond)` is the raw network; `cond` is passed
+    through (None for unconditional calls). The returned `eps(x, t)` takes a
+    trace-time float t in (0, 1] and converts whatever the network predicts
+    (noise / x0 / v / score) to the noise parameterization, then applies:
+
+      * 'uncond'          — plain call,
+      * 'classifier'      — eps - s * guidance_scale * grad_x log p(c|x,t)
+                            via `classifier_fn(x, t_input_vec, cond)` returning
+                            per-example log-probabilities (jax.grad replaces
+                            the reference's torch.autograd.grad, :205-216),
+      * 'classifier-free' — e_uncond + s * (e_cond - e_uncond) (:300-327).
+
+    Feed the result to `_Solver(..., training_target='noise',
+    continuous_time=True)` or `dpm_solver_sample(wrapped_eps_fn=...)`.
+    """
+    import jax
+
+    def _t_in(x, t: float):
+        return jnp.full((x.shape[0],), ns.model_input_time(t), jnp.float32)
+
+    def noise_pred(x, t: float, cond):
+        out = model_fn(x, _t_in(x, t), cond)
+        if model_type == "noise":
+            return out
+        a = float(ns.marginal_alpha(t))
+        s = float(ns.marginal_std(t))
+        if model_type == "x_start":
+            return (x - a * out) / s
+        if model_type == "v":
+            return a * out + s * x
+        if model_type == "score":
+            return -s * out
+        raise ValueError(f"unknown model_type {model_type}")
+
+    if guidance_type == "uncond":
+        return lambda x, t: noise_pred(x, t, condition)
+
+    if guidance_type == "classifier":
+        assert classifier_fn is not None
+
+        def eps(x, t: float):
+            def log_prob(xi):
+                return classifier_fn(xi, _t_in(xi, t), condition).sum()
+
+            grad = jax.grad(log_prob)(x)
+            s = float(ns.marginal_std(t))
+            return noise_pred(x, t, None) - guidance_scale * s * grad
+
+        return eps
+
+    if guidance_type == "classifier-free":
+
+        def eps(x, t: float):
+            if guidance_scale == 1.0 or unconditional_condition is None:
+                return noise_pred(x, t, condition)
+            e_uncond = noise_pred(x, t, unconditional_condition)
+            e_cond = noise_pred(x, t, condition)
+            return e_uncond + guidance_scale * (e_cond - e_uncond)
+
+        return eps
+
+    raise ValueError(f"unknown guidance_type {guidance_type}")
+
+
 class _Solver:
     """Static-shape DPM-Solver over a closed-form x0/eps predictor."""
 
@@ -131,6 +209,7 @@ class _Solver:
         algorithm: str = "dpmsolver",  # dpmsolver (eps) | dpmsolver++ (data)
         training_target: str = "x0",
         thresholding: bool = False,
+        continuous_time: bool = False,
     ):
         self.ns = ns
         self.denoise_fn = denoise_fn
@@ -138,9 +217,14 @@ class _Solver:
         self.training_target = training_target
         self.thresholding = thresholding
         self.data_pred = algorithm == "dpmsolver++"
+        # continuous_time: denoise_fn takes (x, t_continuous float) directly
+        # (the model_wrapper contract) instead of (x, model-input time vec)
+        self.continuous_time = continuous_time
 
     # ---- model parameterizations -------------------------------------
     def _raw(self, x, t: float):
+        if self.continuous_time:
+            return self.denoise_fn(x, t)
         B = x.shape[0]
         t_in = jnp.full((B,), self.ns.model_input_time(t), jnp.float32)
         return self.denoise_fn(x, t_in)
@@ -462,15 +546,21 @@ def adaptive_sample(
     *,
     training_target: str = "x0",
     algorithm: str = "dpmsolver++",
+    order: int = 2,
     atol: float = 0.0078,
     rtol: float = 0.05,
     theta: float = 0.9,
     h_init: float = 0.05,
     max_steps: int = 200,
 ) -> jnp.ndarray:
-    """Adaptive DPM-Solver-12: first-order vs singlestep-second-order error
-    control with step acceptance, as a jittable while_loop."""
+    """Adaptive DPM-Solver-12 (order=2) / DPM-Solver-23 (order=3): low- vs
+    high-order singlestep error control with step acceptance, as a jittable
+    while_loop (reference sampler.py:973-1032). Order 2 compares first-order
+    vs singlestep-2 (r1=0.5); order 3 compares singlestep-2 (r1=1/3, reusing
+    its intermediate model call) vs singlestep-3 (r1=1/3, r2=2/3)."""
     import jax
+
+    assert order in (2, 3), order
 
     ns_host = DiscreteVPSchedule(np.asarray(schedule.betas))
     ns = _TracedSchedule(ns_host)
@@ -496,6 +586,8 @@ def adaptive_sample(
         return (ns.alpha(t) / ns.alpha(s)) * x - ns.sigma(t) * jnp.expm1(h) * m_s
 
     def second_order(x, s, t, m_s, r1=0.5):
+        """Singlestep-2 update; also returns its intermediate model call
+        (reference return_intermediate=True) for reuse by third_order."""
         h = ns.lam(t) - ns.lam(s)
         s1 = ns.inverse_lambda(ns.lam(s) + r1 * h)
         if data_pred:
@@ -503,19 +595,58 @@ def adaptive_sample(
                 -r1 * h
             ) * m_s
             m_s1 = model(x_s1, s1)
-            return (
+            x_t = (
                 (ns.sigma(t) / ns.sigma(s)) * x
                 - ns.alpha(t) * jnp.expm1(-h) * m_s
                 - (0.5 / r1) * ns.alpha(t) * jnp.expm1(-h) * (m_s1 - m_s)
             )
+            return x_t, m_s1
         x_s1 = (ns.alpha(s1) / ns.alpha(s)) * x - ns.sigma(s1) * jnp.expm1(
             r1 * h
         ) * m_s
         m_s1 = model(x_s1, s1)
-        return (
+        x_t = (
             (ns.alpha(t) / ns.alpha(s)) * x
             - ns.sigma(t) * jnp.expm1(h) * m_s
             - (0.5 / r1) * ns.sigma(t) * jnp.expm1(h) * (m_s1 - m_s)
+        )
+        return x_t, m_s1
+
+    def third_order(x, s, t, m_s, m_s1, r1=1.0 / 3.0, r2=2.0 / 3.0):
+        """Singlestep-3 update reusing m_s and m_s1 from the order-2 lower
+        update (reference dpm_solver_third_update with model_s/model_s1)."""
+        h = ns.lam(t) - ns.lam(s)
+        s2 = ns.inverse_lambda(ns.lam(s) + r2 * h)
+        if data_pred:
+            phi_12 = jnp.expm1(-r2 * h)
+            phi_1 = jnp.expm1(-h)
+            phi_22 = jnp.expm1(-r2 * h) / (r2 * h) + 1.0
+            phi_2 = phi_1 / h + 1.0
+            x_s2 = (
+                (ns.sigma(s2) / ns.sigma(s)) * x
+                - ns.alpha(s2) * phi_12 * m_s
+                + (r2 / r1) * ns.alpha(s2) * phi_22 * (m_s1 - m_s)
+            )
+            m_s2 = model(x_s2, s2)
+            return (
+                (ns.sigma(t) / ns.sigma(s)) * x
+                - ns.alpha(t) * phi_1 * m_s
+                + (1.0 / r2) * ns.alpha(t) * phi_2 * (m_s2 - m_s)
+            )
+        phi_12 = jnp.expm1(r2 * h)
+        phi_1 = jnp.expm1(h)
+        phi_22 = jnp.expm1(r2 * h) / (r2 * h) - 1.0
+        phi_2 = phi_1 / h - 1.0
+        x_s2 = (
+            (ns.alpha(s2) / ns.alpha(s)) * x
+            - ns.sigma(s2) * phi_12 * m_s
+            - (r2 / r1) * ns.sigma(s2) * phi_22 * (m_s1 - m_s)
+        )
+        m_s2 = model(x_s2, s2)
+        return (
+            (ns.alpha(t) / ns.alpha(s)) * x
+            - ns.sigma(t) * phi_1 * m_s
+            - (1.0 / r2) * ns.sigma(t) * phi_2 * (m_s2 - m_s)
         )
 
     def cond(carry):
@@ -526,8 +657,12 @@ def adaptive_sample(
         s, h, x, x_prev, nfe = carry
         t = ns.inverse_lambda(jnp.minimum(ns.lam(s) + h, lambda_0))
         m_s = model(x, s)
-        x_lower = first_order(x, s, t, m_s)
-        x_higher = second_order(x, s, t, m_s)
+        if order == 2:
+            x_lower = first_order(x, s, t, m_s)
+            x_higher, _ = second_order(x, s, t, m_s)
+        else:  # adaptive-23 (reference sampler.py:1006-1015)
+            x_lower, m_s1 = second_order(x, s, t, m_s, r1=1.0 / 3.0)
+            x_higher = third_order(x, s, t, m_s, m_s1)
         delta = jnp.maximum(
             atol, rtol * jnp.maximum(jnp.abs(x_lower), jnp.abs(x_prev)).max()
         )
@@ -537,10 +672,10 @@ def adaptive_sample(
         x_new = jnp.where(accept, x_higher, x)
         x_prev_new = jnp.where(accept, x_lower, x_prev)
         h_new = jnp.minimum(
-            theta * h * jnp.maximum(err, 1e-10) ** -0.5,
+            theta * h * jnp.maximum(err, 1e-10) ** (-1.0 / order),
             lambda_0 - ns.lam(s_new),
         )
-        return (s_new, h_new, x_new, x_prev_new, nfe + 2)
+        return (s_new, h_new, x_new, x_prev_new, nfe + order)
 
     s0 = jnp.asarray(t_T, jnp.float32)
     carry = (s0, jnp.asarray(h_init, jnp.float32), x, x, jnp.asarray(0))

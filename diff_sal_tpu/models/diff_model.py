@@ -53,9 +53,32 @@ class VideoSaliencyModel(nn.Module):
         self.decoder_net = SalUNet(self.cfg.decoder, dtype=dtype)
 
     def encode_visual(self, rgb: jnp.ndarray) -> List[jnp.ndarray]:
-        """rgb (B, T, H, W, 3) -> coarse-first 4-scale pyramid."""
-        assert self.visual_net is not None
+        """rgb (B, T, H, W, 3) -> coarse-first 4-scale pyramid.
+
+        With `visual=None` (decoder-only ablation) the reference substitutes
+        a fresh RANDOM feature pyramid at the shapes MViT would have produced
+        (diff_model.py:100-109) — replicated here. Callers must provide a
+        'pyramid' rng (falls back to the deterministic key 0 outside init)."""
+        if self.visual_net is None:
+            return self._random_pyramid(rgb)
         return self.visual_net(rgb)
+
+    def _random_pyramid(self, rgb: jnp.ndarray) -> List[jnp.ndarray]:
+        B, T, H, W = rgb.shape[:4]
+        t4, h4, w4 = T // 2, H // 4, W // 4
+        if self.has_rng("pyramid"):
+            key = self.make_rng("pyramid")
+        else:
+            key = jax.random.PRNGKey(0)
+        dims = (768, 384, 192, 96)  # coarse-first, /8 /4 /2 /1 of (h4, w4)
+        return [
+            jax.random.normal(
+                jax.random.fold_in(key, i),
+                (B, t4, h4 >> (3 - i), w4 >> (3 - i), c),
+                rgb.dtype,
+            )
+            for i, c in enumerate(dims)
+        ]
 
     def encode_audio(
         self, audio: jnp.ndarray, deterministic: bool = True

@@ -218,6 +218,71 @@ class AttentionPool(nn.Module):
         return x, out_size
 
 
+class _DWKernel(nn.Module):
+    """Bare depthwise-conv kernel param, path-compatible with nn.Conv
+    ('kernel' of shape kernel_size + (1, features))."""
+
+    kernel_size: Tuple[int, int, int]
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", vit_init, tuple(self.kernel_size) + (1, self.features)
+        )
+
+
+class PoolParams(nn.Module):
+    """Parameters of one attention pool (depthwise kernel + LayerNorm) with
+    the exact AttentionPool param tree (pool/kernel, norm/scale, norm/bias) —
+    the conv itself runs FUSED across q/k/v in MultiScaleAttention (one
+    grouped conv instead of three separate launches; depthwise channels are
+    independent so the math is unchanged)."""
+
+    head_dim: int
+    kernel_size: Tuple[int, int, int]
+
+    def setup(self):
+        self.pool = _DWKernel(self.kernel_size, self.head_dim)
+        self.norm = nn.LayerNorm(epsilon=1e-6)
+
+    def __call__(self):
+        return self.pool()
+
+    def apply_norm(self, x):
+        return self.norm(x)
+
+
+def _fused_depthwise_pool(
+    parts: List[jnp.ndarray],  # each (B, H, L_patch, C) — cls already removed
+    kernels: List[jnp.ndarray],  # each (kt, kh, kw, 1, C)
+    in_size: Tuple[int, int, int],
+    stride: Tuple[int, int, int],
+    dtype,
+):
+    """One grouped depthwise conv over channel-concatenated q/k/v blocks.
+    Returns the per-part pooled (B, H, L', C) list and the output size."""
+    B, H, L, C = parts[0].shape
+    T, Hh, Ww = in_size
+    n = len(parts)
+    x = jnp.concatenate(
+        [p.reshape(B * H, T, Hh, Ww, C) for p in parts], axis=-1
+    )
+    kern = jnp.concatenate(kernels, axis=-1)
+    ks = kernels[0].shape[:3]
+    out = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        kern.astype(dtype),
+        window_strides=stride,
+        padding=[(k // 2, k // 2) for k in ks],
+        dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+        feature_group_count=n * C,
+    )
+    out_size = out.shape[1:4]
+    out = out.reshape(B, H, -1, n * C)
+    return [out[..., i * C : (i + 1) * C] for i in range(n)], out_size
+
+
 class MaxPoolSkip(nn.Module):
     """MaxPool3d on the residual path when the query is strided
     (reference mvit.py:748-763): kernel = stride+1 (where stride>1), padding
@@ -278,18 +343,40 @@ class MultiScaleAttention(nn.Module):
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, N, heads, hd)
         q, k, v = (jnp.swapaxes(a, 1, 2) for a in (q, k, v))  # (B, heads, N, hd)
 
-        q, q_shape = AttentionPool(
-            self.stride_q, self.pool_kernel, self.with_cls_token,
-            dtype=self.dtype, name="pool_q",
-        )(q, in_size)
-        k, k_shape = AttentionPool(
-            self.stride_kv, self.pool_kernel, self.with_cls_token,
-            dtype=self.dtype, name="pool_k",
-        )(k, in_size)
-        v, _ = AttentionPool(
-            self.stride_kv, self.pool_kernel, self.with_cls_token,
-            dtype=self.dtype, name="pool_v",
-        )(v, in_size)
+        # q/k/v pooling: depthwise channels are independent, so pools with a
+        # common stride fold into ONE grouped conv (k/v always share their
+        # stride; q joins when stride_q == stride_kv) — 3 conv launches
+        # become 1-2 without changing the math or the param tree.
+        pq = PoolParams(head_dim, self.pool_kernel, name="pool_q")
+        pk = PoolParams(head_dim, self.pool_kernel, name="pool_k")
+        pv = PoolParams(head_dim, self.pool_kernel, name="pool_v")
+        dt = self.dtype or q.dtype
+        cls_q = cls_k = cls_v = None
+        if self.with_cls_token:
+            cls_q, q = q[:, :, :1], q[:, :, 1:]
+            cls_k, k = k[:, :, :1], k[:, :, 1:]
+            cls_v, v = v[:, :, :1], v[:, :, 1:]
+        if tuple(self.stride_q) == tuple(self.stride_kv):
+            (q, k, v), q_shape = _fused_depthwise_pool(
+                [q, k, v], [pq(), pk(), pv()], in_size, self.stride_q, dt
+            )
+            k_shape = q_shape
+        else:
+            (q,), q_shape = _fused_depthwise_pool(
+                [q], [pq()], in_size, self.stride_q, dt
+            )
+            (k, v), k_shape = _fused_depthwise_pool(
+                [k, v], [pk(), pv()], in_size, self.stride_kv, dt
+            )
+
+        def _finish(x, cls, pp):
+            if cls is not None:
+                x = jnp.concatenate([cls, x], axis=2)
+            return pp.apply_norm(x)
+
+        q = _finish(q, cls_q, pq)
+        k = _finish(k, cls_k, pk)
+        v = _finish(v, cls_v, pv)
 
         scale = head_dim**-0.5
         rel_pos_t = rel_pos_h = rel_pos_w = None

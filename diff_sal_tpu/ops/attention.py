@@ -185,6 +185,81 @@ def fused_bias_attention(
     return out[:, :Lq]
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, rt_ref, rh_ref, rw_ref, et_ref,
+                     eh_ref, ew_ref, mask_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                     drt_ref, drh_ref, drw_ref, *, scale: float,
+                     residual: bool, q_tile: int):
+    """Flash-style backward: recompute this q-tile's probs, then produce
+    dq/d_rel per tile and accumulate dk/dv across the (sequential) q-tile
+    grid axis — the (Lq, Lk) attention matrix never exists in HBM."""
+    i = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+
+    scores = jax.lax.dot_general(
+        q * scale, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    bias = (
+        jnp.dot(rt_ref[0].astype(jnp.float32), et_ref[:],
+                preferred_element_type=jnp.float32)
+        + jnp.dot(rh_ref[0].astype(jnp.float32), eh_ref[:],
+                  preferred_element_type=jnp.float32)
+        + jnp.dot(rw_ref[0].astype(jnp.float32), ew_ref[:],
+                  preferred_element_type=jnp.float32)
+    )
+    p = jax.nn.softmax(scores + bias + mask_ref[:], axis=-1)
+
+    # dv += p^T g ; dp = g v^T ; ds = p*(dp - rowsum(dp*p))
+    dv_tile = jax.lax.dot_general(
+        p, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Lk_pad, D)
+    dp = jax.lax.dot_general(
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Tq, Lk_pad)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    if residual:
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (dq.shape[0], 1), 0
+        ) + i * q_tile
+        dq = dq + jnp.where(rows >= 1, g, 0.0)
+    dq_ref[0] = dq
+
+    # decomposed-bias grads ride the same one-hot matrices, transposed
+    drt_ref[0] = jax.lax.dot_general(
+        ds, et_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    drh_ref[0] = jax.lax.dot_general(
+        ds, eh_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    drw_ref[0] = jax.lax.dot_general(
+        ds, ew_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    dk_tile = jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (Lk_pad, D)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += dk_tile
+    dv_ref[0] += dv_tile
+
+
 def _fba_fwd(q, k, v, rel_t, rel_h, rel_w, k_shape, scale, q_tile, interpret,
              residual):
     out = fused_bias_attention(
@@ -196,15 +271,73 @@ def _fba_fwd(q, k, v, rel_t, rel_h, rel_w, k_shape, scale, q_tile, interpret,
 
 def _fba_bwd(k_shape, scale, q_tile, interpret, residual, res, g):
     q, k, v, rel_t, rel_h, rel_w = res
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    BH, Lq, D = q.shape
+    Lk = k.shape[1]
+    kt, kh, kw = k_shape
 
-    def ref(q, k, v, rt, rh, rw):
-        out = _reference_bias_attention(q, k, v, rt, rh, rw, k_shape, scale)
-        if residual:
-            out = out.at[:, 1:].add(q[:, 1:])
-        return out
+    lk_pad = _round_up(Lk, 128)
+    # backward holds ~5 f32 (Tq, Lk_pad) tiles live (scores/bias/p/dp/ds)
+    while q_tile > 128 and 5 * q_tile * lk_pad * 4 > 8 * 1024 * 1024:
+        q_tile //= 2
+    lq_pad = _round_up(Lq, q_tile)
+    Et, Eh, Ew, maskrow = _expansion_matrices((kt, kh, kw), Lk, lk_pad)
 
-    _, vjp = jax.vjp(ref, q, k, v, rel_t, rel_h, rel_w)
-    return vjp(g)
+    pad_q = ((0, 0), (0, lq_pad - Lq), (0, 0))
+    pad_k = ((0, 0), (0, lk_pad - Lk), (0, 0))
+    qp, gp = jnp.pad(q, pad_q), jnp.pad(g, pad_q)
+    kp, vp = jnp.pad(k, pad_k), jnp.pad(v, pad_k)
+    rtp = jnp.pad(rel_t, pad_q)
+    rhp = jnp.pad(rel_h, pad_q)
+    rwp = jnp.pad(rel_w, pad_q)
+
+    grid = (BH, lq_pad // q_tile)
+    qspec = pl.BlockSpec((1, q_tile, D), lambda b, i: (b, i, 0))
+    kvspec = pl.BlockSpec((1, lk_pad, D), lambda b, i: (b, 0, 0))
+
+    def rspec(n):
+        return pl.BlockSpec((1, q_tile, n), lambda b, i: (b, i, 0))
+
+    def cspec(r, c):
+        return pl.BlockSpec((r, c), lambda b, i: (0, 0))
+
+    kernel = functools.partial(
+        _attn_bwd_kernel, scale=scale, residual=residual, q_tile=q_tile
+    )
+    f32 = jnp.float32
+    dq, dk, dv, drt, drh, drw = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            qspec, kvspec, kvspec, rspec(kt), rspec(kh), rspec(kw),
+            cspec(kt, lk_pad), cspec(kh, lk_pad), cspec(kw, lk_pad),
+            cspec(1, lk_pad), qspec,
+        ],
+        out_specs=[
+            qspec, kvspec, kvspec, rspec(kt), rspec(kh), rspec(kw),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, lq_pad, D), f32),
+            jax.ShapeDtypeStruct((BH, lk_pad, D), f32),
+            jax.ShapeDtypeStruct((BH, lk_pad, D), f32),
+            jax.ShapeDtypeStruct((BH, lq_pad, kt), f32),
+            jax.ShapeDtypeStruct((BH, lq_pad, kh), f32),
+            jax.ShapeDtypeStruct((BH, lq_pad, kw), f32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, rtp, rhp, rwp,
+      jnp.asarray(Et), jnp.asarray(Eh), jnp.asarray(Ew),
+      jnp.asarray(maskrow), gp)
+
+    return (
+        dq[:, :Lq].astype(q.dtype),
+        dk[:, :Lk].astype(k.dtype),
+        dv[:, :Lk].astype(v.dtype),
+        drt[:, :Lq].astype(rel_t.dtype),
+        drh[:, :Lq].astype(rel_h.dtype),
+        drw[:, :Lq].astype(rel_w.dtype),
+    )
 
 
 fused_bias_attention.defvjp(_fba_fwd, _fba_bwd)

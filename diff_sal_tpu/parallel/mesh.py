@@ -49,6 +49,16 @@ def make_mesh_for_batch(
     devices = list(devices if devices is not None else jax.devices())
     avail = len(devices) // num_model
     num_data = math.gcd(batch_size, avail)
+    if num_data < avail:
+        import warnings
+
+        warnings.warn(
+            f"batch_size={batch_size} is not divisible by the {avail} "
+            f"available data-parallel devices; using only {num_data} of "
+            f"them. Pick a batch size that is a multiple of {avail} to use "
+            "every chip.",
+            stacklevel=2,
+        )
     return make_mesh(num_data, num_model, devices)
 
 

@@ -114,12 +114,14 @@ def make_eval_step(
     schedule: DiffusionSchedule,
     cfg: ExperimentConfig,
 ) -> Callable:
-    """Returns eval_step(state, batch, rng) -> scores dict. Runs the default
-    sampler (DDIM NFE=1 under the shipped config) and computes the
-    nss+cc+sim validation score on device (reference
+    """Returns eval_step(state, batch, rng) -> (scores dict, pred maps).
+    Runs the default sampler (DDIM NFE=1 under the shipped config) and
+    computes the nss+cc+sim validation score on device (reference
     `test`/`test_av_data_for_training`, diffusion_trainer.py:714-821 —
     with the metric reduction over the full global batch, not rank-0's
-    shard)."""
+    shard). The sampled prediction is returned so callers that dump images
+    score and save the SAME maps with one inference pass (the reference
+    samples once and reuses it too, diffusion_trainer.py:856-885)."""
     from diff_sal_tpu.inference import sample_saliency
 
     def eval_step(state: TrainState, batch, rng: jax.Array):
@@ -135,6 +137,6 @@ def make_eval_step(
             rng=rng,
             training_target=cfg.training.training_target,
         )
-        return eval_scores(pred, batch["salmap"].astype(jnp.float32))
+        return eval_scores(pred, batch["salmap"].astype(jnp.float32)), pred
 
     return eval_step

@@ -69,11 +69,23 @@ class Trainer:
         )
         self.n_epochs = n_epochs or cfg.training.n_epochs
         self.tx = make_optimizer(cfg.optim, steps_per_epoch, self.n_epochs)
+        # the actual per-step lr, for logging (reference logs the live
+        # optimizer lr each epoch: diffusion_trainer.py:430, util/utils.py:88)
+        from diff_sal_tpu.train.optim import multistep_lr
+
+        self.lr_schedule = multistep_lr(
+            cfg.optim.lr, steps_per_epoch, self.n_epochs,
+            cfg.optim.milestone_fracs, cfg.optim.gamma,
+        )
         self.ckpt = CheckpointManager(os.path.join(workdir, "weights"))
 
         self.mesh = (
             make_mesh_for_batch(cfg.training.batch_size) if use_mesh else None
         )
+        if self.mesh is not None and self.mesh.size == 1:
+            # a 1-device mesh adds nothing; plain jit avoids the sharded
+            # device_put path (which can wedge on tunneled single-TPU devs)
+            self.mesh = None
         step_fn = make_train_step(self.model, self.schedule, cfg)
         eval_fn = make_eval_step(self.model, self.schedule, cfg)
         if self.mesh is not None:
@@ -87,7 +99,8 @@ class Trainer:
                 out_shardings=(repl, repl),
             )
             self.eval_step = jax.jit(
-                eval_fn, in_shardings=(repl, data, repl), out_shardings=repl
+                eval_fn, in_shardings=(repl, data, repl),
+                out_shardings=(repl, data),
             )
         else:
             self._repl = None
@@ -108,7 +121,9 @@ class Trainer:
         }
         if "audio" in sample_batch:
             data["audio"] = jnp.asarray(sample_batch["audio"][:1])
-        variables = self.model.init(rng, data, jnp.zeros((1,)))
+        # jit the init: eagerly it dispatches thousands of individual ops
+        # (minutes over a remote-device tunnel, and no compile cache)
+        variables = jax.jit(self.model.init)(rng, data, jnp.zeros((1,)))
         print("param counts (M):", param_counts(variables))
         self.state = create_train_state(
             self.model, variables, self.tx, use_ema=self.cfg.training.ema
@@ -138,6 +153,22 @@ class Trainer:
             self.epoch = int(restored["epoch"]) + 1
             self.global_step = int(restored["step"])
             print(f"resumed at epoch {self.epoch}, step {self.global_step}")
+
+    def restore_best(self):
+        """Load the best-scoring checkpoint's params/batch_stats (reference
+        test_av_data loads {split}_weights/best.pth, diffusion_trainer.py:
+        848-854)."""
+        if self.state is None:
+            raise RuntimeError("init_state first")
+        restored = self.ckpt.restore_best(template=_restore_template(self.state))
+        if restored is None:
+            raise FileNotFoundError(
+                f"no best checkpoint under {self.ckpt.directory}"
+            )
+        self.state = self.state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"]
+        )
+        print(f"loaded best checkpoint (epoch {int(restored['epoch'])})")
 
     def _save(self, epoch: int):
         payload = {
@@ -195,7 +226,7 @@ class Trainer:
                     cc=avg.get("cc"),
                     sim=avg.get("sim"),
                     nss=avg.get("nss"),
-                    lr=self.cfg.optim.lr,
+                    lr=float(self.lr_schedule(self.global_step)),
                 )
             )
             self._save(epoch)
@@ -227,34 +258,20 @@ class Trainer:
             db = _device_batch(batch)
             if self.mesh is not None:
                 db = shard_batch(db, self.mesh)
-            scores = self.eval_step(state, db, step_rng)
+            scores, pred = self.eval_step(state, db, step_rng)
             n = batch["rgb"].shape[0]
             meters.update({k: float(v) for k, v in scores.items()}, n)
             if save_images_dir:
-                self._dump_images(batch, step_rng, save_images_dir)
+                self._dump_images(batch, pred, save_images_dir)
         return meters.averages()
 
-    def _dump_images(self, batch, rng, out_dir: str):
+    def _dump_images(self, batch, pred, out_dir: str):
         """Write pred maps with the reference's path contract
         (diffusion_trainer.py:884-935): AV '<ds>/<vid>/pred_sal_%06d.jpg',
-        visual '<vid>/<gid>.png'."""
-        from diff_sal_tpu.inference import sample_saliency
-
-        variables = {
-            "params": self.state.params,
-            "batch_stats": self.state.batch_stats,
-        }
-        pred = sample_saliency(
-            self.model,
-            variables,
-            self.schedule,
-            self.cfg.sampling,
-            self.cfg.data_transform,
-            jnp.asarray(batch["rgb"]),
-            jnp.asarray(batch["audio"]) if "audio" in batch else None,
-            rng=rng,
-            training_target=self.cfg.training.training_target,
-        )
+        visual '<vid>/<gid>.png'. `pred` is the eval_step's sampled
+        prediction — the scored and dumped maps are the same arrays, one
+        inference pass per batch (reference samples once too,
+        diffusion_trainer.py:856-885)."""
         pred = np.asarray(pred)
         for i in range(pred.shape[0]):
             vid = batch["video_id"][i]

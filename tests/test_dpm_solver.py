@@ -196,3 +196,155 @@ def test_adaptive_sampler_jits():
     )
     out = f(jnp.ones((1, 4, 4, 1)))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_adaptive_23_constant_and_linear():
+    """Adaptive DPM-Solver-23 (reference sampler.py:1006-1032): exact on a
+    constant-x0 model, and tracks the linear-ODE reference at least as well
+    as adaptive-12."""
+    from diff_sal_tpu.diffusion.dpm_solver import adaptive_sample
+
+    schedule = make_schedule("cosine", num_diffusion_timesteps=1000)
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 6, 6, 1).astype(np.float32))
+    out = adaptive_sample(
+        schedule, _const_model(0.4), x, training_target="x0",
+        algorithm="dpmsolver++", order=3,
+    )
+    np.testing.assert_allclose(np.asarray(out), 0.4, atol=2e-3)
+
+    def model(x, t_vec):
+        return 0.9 * x
+
+    ns = _ns()
+    x_ref = np.asarray(
+        _Solver(ns, model, algorithm="dpmsolver++").sample_multistep(
+            x, steps=256, order=3
+        )
+    )
+    y23 = np.asarray(
+        adaptive_sample(schedule, model, x, training_target="x0",
+                        algorithm="dpmsolver++", order=3)
+    )
+    y12 = np.asarray(
+        adaptive_sample(schedule, model, x, training_target="x0",
+                        algorithm="dpmsolver++", order=2)
+    )
+    err23 = np.abs(y23 - x_ref).max()
+    err12 = np.abs(y12 - x_ref).max()
+    # the higher-order error estimate is tighter at the same tolerances
+    # (absolute accuracy is set by atol/rtol, not the order)
+    assert err23 <= err12 * 1.1, (err23, err12)
+    assert err23 < 0.3, err23
+
+
+def test_model_wrapper_parameterizations():
+    """All four model_type conversions agree with the analytic noise
+    predictor for a point-mass-at-c data distribution
+    (reference sampler.py:226-268)."""
+    from diff_sal_tpu.diffusion.dpm_solver import model_wrapper
+
+    ns = _ns()
+    c = 0.3
+    t = 0.41
+    a, s = float(ns.marginal_alpha(t)), float(ns.marginal_std(t))
+    x = jnp.asarray(np.random.RandomState(4).randn(2, 4, 4, 1).astype(np.float32))
+    eps_true = (x - a * c) / s
+
+    makers = {
+        "noise": lambda x, tv, cond: (x - a * c) / s,
+        "x_start": lambda x, tv, cond: jnp.full_like(x, c),
+        "v": lambda x, tv, cond: a * (x - a * c) / s - s * c * jnp.ones_like(x),
+        "score": lambda x, tv, cond: -(x - a * c) / (s * s),
+    }
+    for mt, fn in makers.items():
+        eps_fn = model_wrapper(fn, ns, model_type=mt)
+        np.testing.assert_allclose(
+            np.asarray(eps_fn(x, t)), np.asarray(eps_true), atol=1e-4,
+            err_msg=mt,
+        )
+        # t_input passed to the network is the discrete model time
+        def check_t(xa, tv, cond, mt=mt):
+            np.testing.assert_allclose(
+                float(tv[0]), ns.model_input_time(t), rtol=1e-6
+            )
+            return makers[mt](xa, tv, cond)
+
+        model_wrapper(check_t, ns, model_type=mt)(x, t)
+
+
+def test_model_wrapper_classifier_free_guidance():
+    from diff_sal_tpu.diffusion.dpm_solver import model_wrapper
+
+    ns = _ns()
+    x = jnp.ones((1, 4, 4, 1))
+
+    def fn(x, tv, cond):
+        return jnp.full_like(x, 0.0 if cond is None else float(cond))
+
+    eps = model_wrapper(
+        fn, ns, guidance_type="classifier-free", condition=1.0,
+        unconditional_condition=None, guidance_scale=2.0,
+    )(x, 0.5)
+    # no uncond condition -> plain conditional call
+    np.testing.assert_allclose(np.asarray(eps), 1.0)
+
+    eps2 = model_wrapper(
+        fn, ns, guidance_type="classifier-free", condition=1.0,
+        unconditional_condition=-1.0, guidance_scale=2.0,
+    )(x, 0.5)
+    # e_uncond + s*(e_cond - e_uncond) = -1 + 2*(1 - (-1)) = 3
+    np.testing.assert_allclose(np.asarray(eps2), 3.0)
+
+    # scale 1 short-circuits to the conditional branch
+    eps3 = model_wrapper(
+        fn, ns, guidance_type="classifier-free", condition=0.25,
+        unconditional_condition=-1.0, guidance_scale=1.0,
+    )(x, 0.5)
+    np.testing.assert_allclose(np.asarray(eps3), 0.25)
+
+
+def test_model_wrapper_classifier_guidance():
+    """eps_guided = eps - scale * sigma * grad_x log p(c|x)
+    (reference sampler.py:205-216, 290-299)."""
+    from diff_sal_tpu.diffusion.dpm_solver import model_wrapper
+
+    ns = _ns()
+    t = 0.5
+    s = float(ns.marginal_std(t))
+    x = jnp.asarray(np.random.RandomState(5).randn(1, 4, 4, 1).astype(np.float32))
+
+    def fn(x, tv, cond):
+        return jnp.zeros_like(x)
+
+    def classifier_fn(x, tv, cond):
+        # log p = -0.5 * ||x||^2 -> grad = -x
+        return -0.5 * jnp.sum(x.reshape(x.shape[0], -1) ** 2, axis=1)
+
+    eps = model_wrapper(
+        fn, ns, guidance_type="classifier", classifier_fn=classifier_fn,
+        guidance_scale=3.0,
+    )(x, t)
+    np.testing.assert_allclose(np.asarray(eps), np.asarray(3.0 * s * x),
+                               atol=1e-5)
+
+
+def test_model_wrapper_drives_solver():
+    """A wrapped noise predictor plugs into _Solver(continuous_time=True) and
+    recovers the point mass."""
+    from diff_sal_tpu.diffusion.dpm_solver import model_wrapper
+
+    ns = _ns()
+    c = 0.25
+
+    def fn(x, tv, cond):
+        t_cont = float(tv[0]) / 1000.0 + 1.0 / ns.total_N
+        a, s = ns.marginal_alpha(t_cont), ns.marginal_std(t_cont)
+        return (x - a * c) / s
+
+    eps_fn = model_wrapper(fn, ns, model_type="noise")
+    sol = _Solver(ns, eps_fn, algorithm="dpmsolver", training_target="noise",
+                  continuous_time=True)
+    x = jnp.asarray(np.random.RandomState(6).randn(1, 4, 4, 1).astype(np.float32))
+    y = sol.sample_multistep(x, steps=10, order=2)
+    y = sol.denoise_to_zero(y)
+    np.testing.assert_allclose(np.asarray(y), c, atol=1e-3)

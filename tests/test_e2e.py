@@ -83,3 +83,43 @@ def test_e2e_forward_train_path():
     )
     assert out.shape == (1, 64, 96, 1)
     assert "batch_stats" in mutated
+
+
+def test_decoder_only_random_pyramid_fallback():
+    """visual=None substitutes a random feature pyramid at the MViT shapes
+    (reference diff_model.py:100-109, decoder-only ablation)."""
+    hw = (64, 96)
+    cfg = ModelConfig(
+        visual=None, audio=None, spatiotemp=None,
+        decoder=SalUNetConfig(img_size=hw),
+    )
+    model = VideoSaliencyModel(cfg)
+    rgb = jnp.zeros((2, 16, *hw, 3))
+    x_t = jnp.zeros((2, *hw, 1))
+    t = jnp.zeros((2,))
+    variables = model.init(
+        jax.random.PRNGKey(0), {"rgb": rgb, "input": x_t}, t
+    )
+    assert "visual_net" not in variables["params"]
+
+    pyr = model.apply(
+        variables, rgb, method=VideoSaliencyModel.encode_visual,
+        rngs={"pyramid": jax.random.PRNGKey(1)},
+    )
+    assert [p.shape for p in pyr] == [
+        (2, 8, 2, 3, 768), (2, 8, 4, 6, 384), (2, 8, 8, 12, 192),
+        (2, 8, 16, 24, 96),
+    ]
+    # fresh randomness per rng, like the reference's torch.randn
+    pyr2 = model.apply(
+        variables, rgb, method=VideoSaliencyModel.encode_visual,
+        rngs={"pyramid": jax.random.PRNGKey(2)},
+    )
+    assert not np.allclose(np.asarray(pyr[0]), np.asarray(pyr2[0]))
+
+    out = model.apply(
+        variables, {"rgb": rgb, "input": x_t}, t,
+        rngs={"pyramid": jax.random.PRNGKey(1)},
+    )
+    assert out.shape == (2, *hw, 1)
+    assert np.isfinite(np.asarray(out)).all()
