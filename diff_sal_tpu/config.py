@@ -147,6 +147,8 @@ class MViTConfig:
     # fused Pallas attention (ops/attention.py): streams q tiles against
     # VMEM-resident k/v with on-the-fly rel-pos bias; TPU only
     use_pallas_attention: bool = False
+    # stem lowering: conv | patches | s2d | s2d_staged (see PatchEmbed3D)
+    stem_mode: str = "s2d_staged"
     # rematerialize each block in the backward pass (trade FLOPs for HBM) —
     # enables the reference's 4x(batch 12) recipe on a single 16 GB chip
     remat: bool = False

@@ -25,16 +25,42 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def load_rgb_frame(path: str, img_size: Tuple[int, int]) -> np.ndarray:
-    """PIL load + bilinear resize + ImageNet normalize -> (H, W, 3) f32."""
+def load_rgb_frame(
+    path: str, img_size: Tuple[int, int], decode: str = "pil"
+) -> np.ndarray:
+    """Load + bilinear resize + ImageNet normalize -> (H, W, 3) f32.
+
+    decode='pil' matches the reference bit-for-bit (torchvision transforms
+    wrap PIL, meta_data.py:27-31); decode='cv2' is ~2-3x faster per frame
+    (libjpeg-turbo + SIMD resize) with sub-1% pixel deltas from the
+    different bilinear edge handling — the throughput path for training."""
+    if decode == "cv2":
+        import cv2
+
+        arr = cv2.imread(path, cv2.IMREAD_COLOR)  # BGR uint8
+        arr = cv2.resize(
+            arr, (img_size[1], img_size[0]), interpolation=cv2.INTER_LINEAR
+        )
+        arr = arr[:, :, ::-1].astype(np.float32) / 255.0
+        return (arr - IMAGENET_MEAN) / IMAGENET_STD
     img = Image.open(path).convert("RGB")
     img = img.resize((img_size[1], img_size[0]), Image.BILINEAR)
     arr = np.asarray(img, np.float32) / 255.0
     return (arr - IMAGENET_MEAN) / IMAGENET_STD
 
 
-def load_gt_map(path: str, img_size: Tuple[int, int]) -> np.ndarray:
-    """PIL load L + bilinear resize -> (H, W, 1) f32 in [0, 1]."""
+def load_gt_map(
+    path: str, img_size: Tuple[int, int], decode: str = "pil"
+) -> np.ndarray:
+    """Load grayscale + bilinear resize -> (H, W, 1) f32 in [0, 1]."""
+    if decode == "cv2":
+        import cv2
+
+        arr = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        arr = cv2.resize(
+            arr, (img_size[1], img_size[0]), interpolation=cv2.INTER_LINEAR
+        )
+        return (arr.astype(np.float32) / 255.0)[..., None]
     img = Image.open(path).convert("L")
     img = img.resize((img_size[1], img_size[0]), Image.BILINEAR)
     return (np.asarray(img, np.float32) / 255.0)[..., None]
@@ -50,8 +76,9 @@ class VideoWindowDataset:
     """Shared window bookkeeping for the three visual datasets."""
 
     def __init__(self, len_snippet: int, mode: str, img_size, gt_length: int,
-                 alternate: int):
+                 alternate: int, decode: str = "pil"):
         self.len_snippet = len_snippet
+        self.decode = decode
         self.mode = mode
         self.img_size = tuple(img_size)
         self.gt_length = gt_length
@@ -71,8 +98,10 @@ class DHF1KDataset(VideoWindowDataset):
     (reference dhf1k_data.py:22-56)."""
 
     def __init__(self, path_data: str, len_snippet: int = 32, mode: str = "train",
-                 img_size=(224, 384), gt_length: int = 1, alternate: int = 1):
-        super().__init__(len_snippet, mode, img_size, gt_length, alternate)
+                 img_size=(224, 384), gt_length: int = 1, alternate: int = 1,
+                 decode: str = "pil"):
+        super().__init__(len_snippet, mode, img_size, gt_length, alternate,
+                         decode)
         self.img_path = os.path.join(path_data, "frames")
         self.ann_path = os.path.join(path_data, "maps")
         names = sorted(os.listdir(self.img_path), key=int)
@@ -97,7 +126,8 @@ class DHF1KDataset(VideoWindowDataset):
         rgb = np.stack(
             [
                 load_rgb_frame(
-                    os.path.join(self.img_path, v, f"{i}.png"), self.img_size
+                    os.path.join(self.img_path, v, f"{i}.png"), self.img_size,
+                    self.decode,
                 )
                 for i in indices
             ]
@@ -107,7 +137,7 @@ class DHF1KDataset(VideoWindowDataset):
         if self.mode != "test":
             item["salmap"] = load_gt_map(
                 os.path.join(self.ann_path, v, "%04d.png" % gt_idx[0]),
-                self.img_size,
+                self.img_size, self.decode,
             )
         return item
 
@@ -119,8 +149,10 @@ class _TrainTestDirDataset(VideoWindowDataset):
     zero_based = True  # Hollywood indexes img_list directly from 0
 
     def __init__(self, path_data: str, len_snippet: int = 32, mode: str = "train",
-                 img_size=(224, 384), gt_length: int = 1, alternate: int = 1):
-        super().__init__(len_snippet, mode, img_size, gt_length, alternate)
+                 img_size=(224, 384), gt_length: int = 1, alternate: int = 1,
+                 decode: str = "pil"):
+        super().__init__(len_snippet, mode, img_size, gt_length, alternate,
+                         decode)
         sub = "training" if mode == "train" else "testing"
         self.root = os.path.join(path_data, sub)
         for v in sorted(os.listdir(self.root)):
@@ -151,7 +183,7 @@ class _TrainTestDirDataset(VideoWindowDataset):
             [
                 load_rgb_frame(
                     os.path.join(img_dir, self.frame_name(v, img_list, i)),
-                    self.img_size,
+                    self.img_size, self.decode,
                 )
                 for i in indices
             ]
@@ -161,7 +193,7 @@ class _TrainTestDirDataset(VideoWindowDataset):
         if self.mode != "test":
             item["salmap"] = load_gt_map(
                 os.path.join(map_dir, self.frame_name(v, img_list, gt_idx[0])),
-                self.img_size,
+                self.img_size, self.decode,
             )
         return item
 

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from diff_sal_tpu.config import AudioAttnConfig
+from diff_sal_tpu.models.layers import FusedLayerNorm
 
 
 class TokenAttention(nn.Module):
@@ -32,7 +33,7 @@ class TokenAttention(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         B, N, C = x.shape
         inner = self.heads * self.dim_head
-        h = nn.LayerNorm(name="norm")(x)
+        h = FusedLayerNorm(name="norm")(x)
         qkv = nn.Dense(
             inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv"
         )(h)
@@ -57,7 +58,7 @@ class TokenFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         C = x.shape[-1]
-        h = nn.LayerNorm(name="norm")(x)
+        h = FusedLayerNorm(name="norm")(x)
         h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(h)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -88,5 +89,5 @@ class AudioAttnNet(nn.Module):
                 )(tokens, deterministic)
                 + tokens
             )
-        tokens = nn.LayerNorm(name="final_norm")(tokens)
+        tokens = FusedLayerNorm(name="final_norm")(tokens)
         return tokens.reshape(B, T, H, W, C)

@@ -146,3 +146,21 @@ class LayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         return nn.LayerNorm(epsilon=self.epsilon)(x)
+
+
+class FusedLayerNorm(nn.Module):
+    """nn.LayerNorm-compatible module (same 'scale'/'bias' param tree) whose
+    forward runs the single-pass Pallas kernel on TPU (ops/layernorm.py) and
+    identical plain-jnp math elsewhere. XLA's LayerNorm chain is 2-3 HBM
+    passes with f32 converts; the kernel is one."""
+
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        from diff_sal_tpu.ops.layernorm import fused_layernorm
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        return fused_layernorm(x, scale, bias, self.epsilon)

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from diff_sal_tpu.config import MViTConfig
-from diff_sal_tpu.models.layers import Mlp, gelu_exact, vit_init
+from diff_sal_tpu.models.layers import (FusedLayerNorm, Mlp, gelu_exact,
+                                         vit_init)
 from diff_sal_tpu.ops.rel_pos import add_decomposed_rel_pos
 
 
@@ -86,6 +87,8 @@ class _PatchProjection(nn.Module):
             return patches @ km.astype(dt) + bias.astype(dt)
         if self.mode == "s2d":
             return self._s2d(x, kernel, bias, dt)
+        if self.mode == "s2d_staged":
+            return self._s2d(x, kernel, bias, dt, staged=True)
         out = jax.lax.conv_general_dilated(
             x.astype(dt),
             kernel.astype(dt),
@@ -95,10 +98,15 @@ class _PatchProjection(nn.Module):
         )
         return out + bias.astype(dt)
 
-    def _s2d(self, x, kernel, bias, dt):
+    def _s2d(self, x, kernel, bias, dt, staged: bool = False):
         """Space-to-depth lowering. Requires kernel <= 2*stride - 1 and
         padding == kernel // 2 per axis (true for the (3,7,7)/(2,4,4)/(1,3,3)
-        stem), and input dims divisible by the stride."""
+        stem), and input dims divisible by the stride.
+
+        staged=False blockifies with one 8-D transpose; staged=True walks
+        W -> H -> T with per-axis reshapes/transposes whose inner blocks
+        grow (3 -> 12 -> 48 lanes) — the 8-D transpose's inner block is a
+        fragmented (st, sh, sw, C) and profiles ~5.5 ms/iter at B=4."""
         B = x.shape[0]
         in_c = x.shape[-1]
         strides = self.stride
@@ -117,10 +125,26 @@ class _PatchProjection(nn.Module):
         T, H, W = xp.shape[1:4]
         st, sh, sw = strides
         bt, bh, bw = T // st, H // sh, W // sw
-        x6 = xp.reshape(B, bt, st, bh, sh, bw, sw, in_c)
-        x_s2d = jnp.transpose(x6, (0, 1, 3, 5, 2, 4, 6, 7)).reshape(
-            B, bt, bh, bw, st * sh * sw * in_c
-        )
+        if staged:
+            # W: (B,T,H,W,c) -> (B,T,H,bw,sw*c)   pure trailing reshape
+            xs = xp.reshape(B, T, H, bw, sw * in_c)
+            # H: split then swap the (sh, bw) pair
+            xs = xs.reshape(B, T, bh, sh, bw, sw * in_c)
+            xs = jnp.transpose(xs, (0, 1, 2, 4, 3, 5)).reshape(
+                B, T, bh, bw, sh * sw * in_c
+            )
+            # T: split then move st next to channels
+            xs = xs.reshape(B, bt, st, bh, bw, sh * sw * in_c)
+            x_s2d = jnp.transpose(xs, (0, 1, 3, 4, 2, 5)).reshape(
+                B, bt, bh, bw, st * sh * sw * in_c
+            )
+            # channel order here is (sh, sw, c) per t-slab with t outermost
+            # == (st, sh, sw, c), same as the kernel packing below
+        else:
+            x6 = xp.reshape(B, bt, st, bh, sh, bw, sw, in_c)
+            x_s2d = jnp.transpose(x6, (0, 1, 3, 5, 2, 4, 6, 7)).reshape(
+                B, bt, bh, bw, st * sh * sw * in_c
+            )
 
         # embed the kernel into a (2s_t, 2s_h, 2s_w) grid at offset
         # (s - k//2 - ... ) == (s - p - 1 + ... ): window rows are
@@ -214,7 +238,7 @@ class AttentionPool(nn.Module):
         if cls is not None:
             x = jnp.concatenate([cls, x], axis=2)
         if self.with_norm:
-            x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+            x = FusedLayerNorm(epsilon=1e-6, name="norm")(x)
         return x, out_size
 
 
@@ -244,7 +268,7 @@ class PoolParams(nn.Module):
 
     def setup(self):
         self.pool = _DWKernel(self.kernel_size, self.head_dim)
-        self.norm = nn.LayerNorm(epsilon=1e-6)
+        self.norm = FusedLayerNorm(epsilon=1e-6)
 
     def __call__(self):
         return self.pool()
@@ -254,21 +278,23 @@ class PoolParams(nn.Module):
 
 
 def _fused_depthwise_pool(
-    parts: List[jnp.ndarray],  # each (B, H, L_patch, C) — cls already removed
-    kernels: List[jnp.ndarray],  # each (kt, kh, kw, 1, C)
-    in_size: Tuple[int, int, int],
+    x: jnp.ndarray,  # (B, T, Hh, Ww, n*heads*hd) — channel-folded q/k/v
+    kernels: List[jnp.ndarray],  # per part, (kt, kh, kw, 1, hd)
+    heads: int,
     stride: Tuple[int, int, int],
     dtype,
 ):
-    """One grouped depthwise conv over channel-concatenated q/k/v blocks.
-    Returns the per-part pooled (B, H, L', C) list and the output size."""
-    B, H, L, C = parts[0].shape
-    T, Hh, Ww = in_size
-    n = len(parts)
-    x = jnp.concatenate(
-        [p.reshape(B * H, T, Hh, Ww, C) for p in parts], axis=-1
+    """One grouped depthwise conv over channel-concatenated q/k/v parts.
+
+    The reference shares one (kt,kh,kw,1,hd) kernel across all heads
+    (mvit.py:497-650: Conv3d(head_dim, head_dim, groups=head_dim) applied to
+    a (B*heads, hd, ...) fold), so pooling runs directly on the Dense
+    output's (..., part, head, hd)-ordered channels — no pre-pool head
+    transposes of the 43k-token tensors. Returns (B, T', H', W', n*heads*hd)
+    and the output size."""
+    kern = jnp.concatenate(
+        [jnp.tile(k, (1, 1, 1, 1, heads)) for k in kernels], axis=-1
     )
-    kern = jnp.concatenate(kernels, axis=-1)
     ks = kernels[0].shape[:3]
     out = jax.lax.conv_general_dilated(
         x.astype(dtype),
@@ -276,11 +302,9 @@ def _fused_depthwise_pool(
         window_strides=stride,
         padding=[(k // 2, k // 2) for k in ks],
         dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
-        feature_group_count=n * C,
+        feature_group_count=x.shape[-1],
     )
-    out_size = out.shape[1:4]
-    out = out.reshape(B, H, -1, n * C)
-    return [out[..., i * C : (i + 1) * C] for i in range(n)], out_size
+    return out, out.shape[1:4]
 
 
 class MaxPoolSkip(nn.Module):
@@ -335,48 +359,61 @@ class MultiScaleAttention(nn.Module):
         B, N, _ = x.shape
         head_dim = self.out_dims // self.num_heads
 
+        C = self.out_dims
         qkv = nn.Dense(
-            self.out_dims * 3, use_bias=self.qkv_bias, kernel_init=vit_init,
+            C * 3, use_bias=self.qkv_bias, kernel_init=vit_init,
             dtype=self.dtype, name="qkv",
-        )(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, N, heads, hd)
-        q, k, v = (jnp.swapaxes(a, 1, 2) for a in (q, k, v))  # (B, heads, N, hd)
+        )(x)  # (B, N, 3C) with channels ordered (part, head, hd)
 
-        # q/k/v pooling: depthwise channels are independent, so pools with a
-        # common stride fold into ONE grouped conv (k/v always share their
-        # stride; q joins when stride_q == stride_kv) — 3 conv launches
-        # become 1-2 without changing the math or the param tree.
+        # q/k/v pooling runs channel-folded straight off the Dense output:
+        # depthwise channels are independent and the reference shares the
+        # pool kernel across heads, so pools with a common stride fold into
+        # ONE grouped conv over (B, T, H, W, n*C) (k/v always share their
+        # stride; q joins when stride_q == stride_kv). No pre-pool
+        # (B, heads, N, hd) transposes of the full-resolution tokens, and
+        # the param tree is unchanged.
         pq = PoolParams(head_dim, self.pool_kernel, name="pool_q")
         pk = PoolParams(head_dim, self.pool_kernel, name="pool_k")
         pv = PoolParams(head_dim, self.pool_kernel, name="pool_v")
-        dt = self.dtype or q.dtype
-        cls_q = cls_k = cls_v = None
+        dt = self.dtype or qkv.dtype
+        H = self.num_heads
+        T, Hh, Ww = in_size
+        cls_qkv = None
+        tokens = qkv
         if self.with_cls_token:
-            cls_q, q = q[:, :, :1], q[:, :, 1:]
-            cls_k, k = k[:, :, :1], k[:, :, 1:]
-            cls_v, v = v[:, :, :1], v[:, :, 1:]
+            cls_qkv, tokens = qkv[:, :1], qkv[:, 1:]
+        sp = tokens.reshape(B, T, Hh, Ww, 3 * C)
         if tuple(self.stride_q) == tuple(self.stride_kv):
-            (q, k, v), q_shape = _fused_depthwise_pool(
-                [q, k, v], [pq(), pk(), pv()], in_size, self.stride_q, dt
+            pooled, q_shape = _fused_depthwise_pool(
+                sp, [pq(), pk(), pv()], H, self.stride_q, dt
             )
             k_shape = q_shape
+            q_sp, k_sp, v_sp = jnp.split(pooled, 3, axis=-1)
         else:
-            (q,), q_shape = _fused_depthwise_pool(
-                [q], [pq()], in_size, self.stride_q, dt
+            q_sp, q_shape = _fused_depthwise_pool(
+                sp[..., :C], [pq()], H, self.stride_q, dt
             )
-            (k, v), k_shape = _fused_depthwise_pool(
-                [k, v], [pk(), pv()], in_size, self.stride_kv, dt
+            kv_sp, k_shape = _fused_depthwise_pool(
+                sp[..., C:], [pk(), pv()], H, self.stride_kv, dt
             )
+            k_sp, v_sp = jnp.split(kv_sp, 2, axis=-1)
 
-        def _finish(x, cls, pp):
-            if cls is not None:
-                x = jnp.concatenate([cls, x], axis=2)
-            return pp.apply_norm(x)
+        def _finish(sp_x, cls_slice, pp):
+            t = sp_x.reshape(B, -1, H, head_dim)
+            if cls_slice is not None:
+                t = jnp.concatenate(
+                    [cls_slice.reshape(B, 1, H, head_dim), t], axis=1
+                )
+            t = pp.apply_norm(t)
+            return jnp.swapaxes(t, 1, 2)  # (B, heads, L, hd)
 
-        q = _finish(q, cls_q, pq)
-        k = _finish(k, cls_k, pk)
-        v = _finish(v, cls_v, pv)
+        q = _finish(q_sp, cls_qkv[..., :C] if cls_qkv is not None else None, pq)
+        k = _finish(
+            k_sp, cls_qkv[..., C : 2 * C] if cls_qkv is not None else None, pk
+        )
+        v = _finish(
+            v_sp, cls_qkv[..., 2 * C :] if cls_qkv is not None else None, pv
+        )
 
         scale = head_dim**-0.5
         rel_pos_t = rel_pos_h = rel_pos_w = None
@@ -466,7 +503,7 @@ class MultiScaleBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, in_size: Tuple[int, int, int]):
-        x_norm = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        x_norm = FusedLayerNorm(epsilon=1e-6, name="norm1")(x)
         x_attn, out_size = MultiScaleAttention(
             out_dims=self.out_dims,
             num_heads=self.num_heads,
@@ -496,7 +533,7 @@ class MultiScaleBlock(nn.Module):
             )(skip, in_size)
 
         x = skip + x_attn
-        x_norm2 = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        x_norm2 = FusedLayerNorm(epsilon=1e-6, name="norm2")(x)
         x_mlp = Mlp(
             hidden_features=int(self.out_dims * self.mlp_ratio),
             out_features=self.out_dims,
@@ -569,15 +606,27 @@ class MViT(nn.Module):
         cfg = self.cfg
         B = x.shape[0]
         tokens, size = PatchEmbed3D(
-            cfg.embed_dims, dtype=self.dtype, name="patch_embed"
+            cfg.embed_dims, dtype=self.dtype, mode=cfg.stem_mode,
+            name="patch_embed",
         )(x)
 
         cls_token = self.param(
             "cls_token", nn.initializers.zeros, (1, 1, cfg.embed_dims)
         )
         if cfg.with_cls_token:
+            # cast the f32 param to the token dtype BEFORE the concat — else
+            # the whole 43k-token residual stream silently promotes to f32
+            # (2x HBM traffic on every block residual/norm; xplane showed
+            # f32 add/convert fusions at (B, 43009, C))
             tokens = jnp.concatenate(
-                [jnp.broadcast_to(cls_token, (B, 1, cfg.embed_dims)), tokens], axis=1
+                [
+                    jnp.broadcast_to(
+                        cls_token.astype(tokens.dtype),
+                        (B, 1, cfg.embed_dims),
+                    ),
+                    tokens,
+                ],
+                axis=1,
             )
 
         block_cls = MultiScaleBlock
@@ -606,7 +655,7 @@ class MViT(nn.Module):
             )(tokens, size)
             stage = plan["emit_scale"]
             if stage is not None and stage in cfg.out_scales:
-                normed = nn.LayerNorm(epsilon=1e-6, name=f"norm{stage}")(tokens)
+                normed = FusedLayerNorm(epsilon=1e-6, name=f"norm{stage}")(tokens)
                 patch = normed[:, 1:] if cfg.with_cls_token else normed
                 T, H, W = size
                 outs.append(patch.reshape(B, T, H, W, -1))

@@ -36,6 +36,7 @@ from diff_sal_tpu.config import SalUNetConfig
 from diff_sal_tpu.models.layers import (
     ConvBNRelu,
     DropPath,
+    FusedLayerNorm,
     MLPHead,
     Mlp,
     gelu_exact,
@@ -79,8 +80,9 @@ class ResnetBlock(nn.Module):
             dtype=self.dtype, name="conv1",
         )(h)
         h = h + nn.Dense(
-            self.out_channels, kernel_init=salunet_init, name="temb_proj"
-        )(jax.nn.silu(temb))[:, None, None, :]
+            self.out_channels, kernel_init=salunet_init, dtype=self.dtype,
+            name="temb_proj",
+        )(jax.nn.silu(temb))[:, None, None, :].astype(h.dtype)
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm2")(h)
         h = jax.nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=not train)
@@ -91,7 +93,7 @@ class ResnetBlock(nn.Module):
         if in_ch != self.out_channels:
             x = nn.Conv(
                 self.out_channels, (1, 1), kernel_init=salunet_init,
-                name="nin_shortcut",
+                dtype=self.dtype, name="nin_shortcut",
             )(x)
         return x + h
 
@@ -181,7 +183,7 @@ class CvTAttention(nn.Module):
             name=f"conv_proj_{name}",
         )(x_sp)
         y = y.reshape(y.shape[0], -1, c)
-        return nn.LayerNorm(name=f"norm_{name}")(y)
+        return FusedLayerNorm(name=f"norm_{name}")(y)
 
     @nn.compact
     def __call__(
@@ -278,7 +280,7 @@ class TransformerBlock(nn.Module):
             audio_tokens = _scrambled_audio_tokens(ac)
 
         tokens = frames.reshape(B * T, H * W, C)
-        attn_in = nn.LayerNorm(name="norm")(tokens)
+        attn_in = FusedLayerNorm(name="norm")(tokens)
         attn_out = CvTAttention(
             num_heads=self.num_heads,
             kernel_kv=self.kernel_kv,
@@ -291,7 +293,7 @@ class TransformerBlock(nn.Module):
         mlp_out = Mlp(
             hidden_features=int(C * self.mlp_ratio), dtype=self.dtype,
             name="mlp",
-        )(nn.LayerNorm(name="norm2")(tokens), deterministic=not train)
+        )(FusedLayerNorm(name="norm2")(tokens), deterministic=not train)
         tokens = tokens + DropPath(self.drop_path_rate, name="drop_path")(
             mlp_out, deterministic=not train
         )
@@ -436,7 +438,7 @@ class Decoder(nn.Module):
                 name=f"stage{i}",
             )(x, back_fea, audio, train=train)
 
-            normed = nn.LayerNorm(name=f"norm_mt{i}")(x)
+            normed = FusedLayerNorm(name=f"norm_mt{i}")(x)
             task = ReduceTemp(
                 embed_dim=cfg.ori_embed_dim,
                 temporal_dim=cfg.temporal_list[i],

@@ -62,14 +62,17 @@ def _expansion_matrices(
 def _attn_kernel(q_ref, k_ref, v_ref, rt_ref, rh_ref, rw_ref, et_ref, eh_ref,
                  ew_ref, mask_ref, o_ref, *, scale: float,
                  residual: bool, q_tile: int):
-    # blocked refs carry a leading unit (batch*head) dim
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
+    # blocked refs carry a leading unit (batch*head) dim. Dots stay in the
+    # INPUT dtype (bf16 on the mixed-precision path) with f32 accumulation:
+    # the MXU runs bf16 x bf16 -> f32 at 4x its f32 rate, and pre-casting
+    # operands to f32 was the kernel's dominant cost.
+    q = q_ref[0]
+    k = k_ref[0]
     scores = jax.lax.dot_general(
-        q * scale, k,
+        q * jnp.asarray(scale, q.dtype), k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (Tq, Lk_pad)
+    )  # (Tq, Lk_pad) f32
     bias = (
         jnp.dot(rt_ref[0].astype(jnp.float32), et_ref[:],
                 preferred_element_type=jnp.float32)
@@ -79,9 +82,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, rt_ref, rh_ref, rw_ref, et_ref, eh_ref,
                   preferred_element_type=jnp.float32)
     )
     scores = scores + bias + mask_ref[:]
-    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jax.nn.softmax(scores, axis=-1)  # f32
     out = jnp.dot(
-        probs, v_ref[0].astype(jnp.float32),
+        probs.astype(q.dtype), v_ref[0],
         preferred_element_type=jnp.float32,
     )
     if residual:
@@ -90,7 +93,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, rt_ref, rh_ref, rw_ref, et_ref, eh_ref,
         rows = jax.lax.broadcasted_iota(
             jnp.int32, (out.shape[0], 1), 0
         ) + pl.program_id(1) * q_tile
-        out = out + jnp.where(rows >= 1, q, 0.0)
+        out = out + jnp.where(rows >= 1, q.astype(jnp.float32), 0.0)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -193,13 +196,13 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, rt_ref, rh_ref, rw_ref, et_ref,
     dq/d_rel per tile and accumulate dk/dv across the (sequential) q-tile
     grid axis — the (Lq, Lk) attention matrix never exists in HBM."""
     i = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
+    q = q_ref[0]  # input dtype — bf16 dots with f32 accumulation (see fwd)
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
 
     scores = jax.lax.dot_general(
-        q * scale, k,
+        q * jnp.asarray(scale, q.dtype), k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -211,28 +214,31 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, rt_ref, rh_ref, rw_ref, et_ref,
         + jnp.dot(rw_ref[0].astype(jnp.float32), ew_ref[:],
                   preferred_element_type=jnp.float32)
     )
-    p = jax.nn.softmax(scores + bias + mask_ref[:], axis=-1)
+    p = jax.nn.softmax(scores + bias + mask_ref[:], axis=-1)  # f32
+    p_lo = p.astype(q.dtype)
 
     # dv += p^T g ; dp = g v^T ; ds = p*(dp - rowsum(dp*p))
     dv_tile = jax.lax.dot_general(
-        p, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        p_lo, g, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (Lk_pad, D)
     dp = jax.lax.dot_general(
         g, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (Tq, Lk_pad)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # f32
+    ds_lo = ds.astype(q.dtype)
 
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    dq = jnp.dot(ds_lo, k, preferred_element_type=jnp.float32) * scale
     if residual:
         rows = jax.lax.broadcasted_iota(
             jnp.int32, (dq.shape[0], 1), 0
         ) + i * q_tile
-        dq = dq + jnp.where(rows >= 1, g, 0.0)
+        dq = dq + jnp.where(rows >= 1, g.astype(jnp.float32), 0.0)
     dq_ref[0] = dq
 
     # decomposed-bias grads ride the same one-hot matrices, transposed
+    # (tiny flops — keep f32 for the bias-table gradient precision)
     drt_ref[0] = jax.lax.dot_general(
         ds, et_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -247,7 +253,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, rt_ref, rh_ref, rw_ref, et_ref,
     )
 
     dk_tile = jax.lax.dot_general(
-        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        ds_lo, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # (Lk_pad, D)
 

@@ -30,10 +30,20 @@ from diff_sal_tpu.train.train_step import create_train_state, make_train_step
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
-    av = len(sys.argv) > 3 and sys.argv[3] == "av"
+    av = "av" in sys.argv[3:]
+    use_pallas = "xla" not in sys.argv[3:]  # fused fwd+bwd kernel by default
     cfg = audio_visual_experiment() if av else visual_experiment()
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, compute_dtype=dtype)
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            visual=dataclasses.replace(
+                cfg.model.visual, use_pallas_attention=use_pallas
+            ),
+        ),
     )
     model = VideoSaliencyModel(cfg.model)
     schedule = make_schedule("cosine", num_diffusion_timesteps=1000)
@@ -79,7 +89,8 @@ def main():
     jax.block_until_ready(metrics)
     dt = (time.perf_counter() - t0) / iters
     print(
-        f"{dtype} B={B} {'av' if av else 'visual'}: {dt*1e3:.1f} ms/step -> "
+        f"{dtype} B={B} {'av' if av else 'visual'}"
+        f"{' pallas' if use_pallas else ' xla'}: {dt*1e3:.1f} ms/step -> "
         f"{B/dt:.1f} clips/s/chip (loss {float(metrics['total']):.2f})"
     )
 

@@ -85,10 +85,13 @@ def test_patch_embed_modes_equal():
     m_conv = PatchEmbed3D(32, mode="conv")
     m_pat = PatchEmbed3D(32, mode="patches")
     m_s2d = PatchEmbed3D(32, mode="s2d")
+    m_stg = PatchEmbed3D(32, mode="s2d_staged")
     v = m_conv.init(jax.random.PRNGKey(1), x)
     o_conv, s_conv = m_conv.apply(v, x)
     o_pat, s_pat = m_pat.apply(v, x)
     o_s2d, s_s2d = m_s2d.apply(v, x)
-    assert s_conv == s_pat == s_s2d == (4, 8, 12)
+    o_stg, s_stg = m_stg.apply(v, x)
+    assert s_conv == s_pat == s_s2d == s_stg == (4, 8, 12)
     np.testing.assert_allclose(np.asarray(o_pat), np.asarray(o_conv), atol=2e-5)
     np.testing.assert_allclose(np.asarray(o_s2d), np.asarray(o_conv), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(o_stg), np.asarray(o_conv), atol=2e-5)

@@ -93,3 +93,65 @@ def test_rel_coords_symmetry():
     c = _rel_coords(8, 8)
     assert c.shape == (8, 8)
     assert c[0, 7] == 0 and c[7, 0] == 14 and c[3, 3] == 7
+
+
+def test_fused_layernorm_matches_flax():
+    """ops/layernorm.py vs nn.LayerNorm: values, dtypes and grads (the CPU
+    path is plain jnp; the kernel itself runs on TPU only)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diff_sal_tpu.ops.layernorm import fused_layernorm
+
+    rng = np.random.RandomState(0)
+    for shape, dtype in [((4, 43, 96), jnp.float32),
+                         ((2, 9, 7, 12, 768), jnp.bfloat16),
+                         ((3, 100), jnp.float32)]:
+        x = jnp.asarray(rng.randn(*shape), dtype)
+        scale = jnp.asarray(rng.randn(shape[-1]).astype(np.float32))
+        bias = jnp.asarray(rng.randn(shape[-1]).astype(np.float32))
+        got = fused_layernorm(x, scale, bias, 1e-6)
+        ln = nn.LayerNorm(epsilon=1e-6)
+        want = ln.apply({"params": {"scale": scale, "bias": bias}}, x)
+        assert got.dtype == x.dtype
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=6e-2 if dtype == jnp.bfloat16 else 1e-5,
+        )
+
+        def f(x, s, b):
+            return jnp.sum(fused_layernorm(x, s, b, 1e-6).astype(jnp.float32) ** 2)
+
+        def g(x, s, b):
+            return jnp.sum(
+                ln.apply({"params": {"scale": s, "bias": b}}, x).astype(
+                    jnp.float32
+                ) ** 2
+            )
+
+        g1 = jax.grad(f, argnums=(0, 1, 2))(x, scale, bias)
+        g2 = jax.grad(g, argnums=(0, 1, 2))(x, scale, bias)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b_, np.float32),
+                atol=0.15 if dtype == jnp.bfloat16 else 1e-4, rtol=5e-2,
+            )
+
+
+def test_fused_layernorm_kernel_interpret():
+    """Force the pallas kernel (interpret mode) to validate the in-kernel
+    math incl. channel padding (C=96 -> 128 lanes)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diff_sal_tpu.ops.layernorm import _ln_reference, fused_layernorm
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(37, 96).astype(np.float32))
+    scale = jnp.asarray(rng.randn(96).astype(np.float32))
+    bias = jnp.asarray(rng.randn(96).astype(np.float32))
+    got = fused_layernorm(x, scale, bias, 1e-6, True)
+    want = _ln_reference(x, scale, bias, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
