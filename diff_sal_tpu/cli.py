@@ -36,6 +36,9 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--pretrain_path", default=None)
     p.add_argument("--no_mesh", action="store_true")
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 mixed-precision compute (params stay f32)")
+    p.add_argument("--log_freq", type=int, default=None)
 
 
 def _make_cfg(args, audio_visual: bool):
@@ -51,6 +54,15 @@ def _make_cfg(args, audio_visual: bool):
             cfg.training, batch_size=args.batch_size, seed=args.seed
         ),
     )
+    if getattr(args, "bf16", False):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, compute_dtype="bfloat16")
+        )
+    if getattr(args, "log_freq", None):
+        cfg = dataclasses.replace(
+            cfg, training=dataclasses.replace(cfg.training,
+                                              log_freq=args.log_freq)
+        )
     return cfg
 
 
@@ -63,15 +75,33 @@ def cmd_train_visual(args):
     )
     from diff_sal_tpu.train.trainer import Trainer
 
-    ds_cls = {"dhf1k": DHF1KDataset, "holly": HollywoodDataset,
-              "ucf": UCFDataset}[args.data_type]
-    train_ds = ds_cls(args.path_data, args.len_snippet, "train")
-    val_ds = ds_cls(args.path_data, args.len_snippet, "val" if
-                    args.data_type == "dhf1k" else "test")
     cfg = _make_cfg(args, audio_visual=False)
     bs = cfg.training.batch_size
+    if args.packed_root:
+        # decode-free uint8 memmap pipeline (data/packed.py; pack once with
+        # pack_dhf1k_tree). Normalization happens on device.
+        from diff_sal_tpu.data.packed import PackedVideoDataset
+
+        train_ds = PackedVideoDataset(
+            args.packed_root, args.len_snippet, "train"
+        )
+        val_ds = (
+            PackedVideoDataset(args.packed_val_root, args.len_snippet, "val")
+            if args.packed_val_root
+            else None
+        )
+    else:
+        ds_cls = {"dhf1k": DHF1KDataset, "holly": HollywoodDataset,
+                  "ucf": UCFDataset}[args.data_type]
+        train_ds = ds_cls(args.path_data, args.len_snippet, "train")
+        val_ds = ds_cls(args.path_data, args.len_snippet, "val" if
+                        args.data_type == "dhf1k" else "test")
     train_loader = Loader(train_ds, bs, shuffle=True, num_workers=args.n_threads)
-    val_loader = Loader(val_ds, bs, shuffle=False, num_workers=args.n_threads)
+    val_loader = (
+        Loader(val_ds, bs, shuffle=False, num_workers=args.n_threads)
+        if val_ds is not None
+        else None
+    )
     t = Trainer(
         cfg, args.workdir, steps_per_epoch=len(train_loader),
         n_epochs=args.n_epochs, use_mesh=not args.no_mesh,
@@ -189,6 +219,9 @@ def build_parser() -> argparse.ArgumentParser:
     _common(p)
     p.add_argument("--data_type", default="dhf1k",
                    choices=["dhf1k", "holly", "ucf"])
+    p.add_argument("--packed_root", default=None,
+                   help="packed uint8 memmap tree (data/packed.py)")
+    p.add_argument("--packed_val_root", default=None)
     p.set_defaults(fn=cmd_train_visual)
 
     p = sub.add_parser("train-av")
@@ -221,8 +254,27 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _setup_compile_cache():
+    """Persistent XLA compile cache next to the package — repeated CLI runs
+    skip the multi-minute full-model compiles."""
+    import jax
+
+    cache = os.environ.get(
+        "DIFF_SAL_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # older jax without the knobs
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    _setup_compile_cache()
     args.fn(args)
 
 

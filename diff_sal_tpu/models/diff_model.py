@@ -55,10 +55,17 @@ class VideoSaliencyModel(nn.Module):
     def encode_visual(self, rgb: jnp.ndarray) -> List[jnp.ndarray]:
         """rgb (B, T, H, W, 3) -> coarse-first 4-scale pyramid.
 
+        uint8 input (the packed decode-free pipeline, data/packed.py) is
+        ImageNet-normalized on device here.
+
         With `visual=None` (decoder-only ablation) the reference substitutes
         a fresh RANDOM feature pyramid at the shapes MViT would have produced
         (diff_model.py:100-109) — replicated here. Callers must provide a
         'pyramid' rng (falls back to the deterministic key 0 outside init)."""
+        if rgb.dtype == jnp.uint8:
+            from diff_sal_tpu.data.transforms import normalize_rgb_u8
+
+            rgb = normalize_rgb_u8(rgb)
         if self.visual_net is None:
             return self._random_pyramid(rgb)
         return self.visual_net(rgb)

@@ -196,6 +196,10 @@ class Trainer:
             train_loader.set_epoch(epoch)
             meters = AverageMeterDict()
             timer = StepTimer()
+            # device metrics are materialized lazily (only at log points):
+            # a per-step float() would sync the host every step and stop the
+            # input pipeline from overlapping with the accelerator
+            pending = []
             for batch in train_loader:
                 timer.mark_data()
                 rng, step_rng = jax.random.split(rng)
@@ -203,19 +207,21 @@ class Trainer:
                 if self.mesh is not None:
                     db = shard_batch(db, self.mesh)
                 self.state, metrics = self.train_step(self.state, db, step_rng)
+                pending.append(metrics)
                 self.global_step += 1
                 timer.mark_step()
                 if self.global_step % cfg.training.log_freq == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
-                    meters.update(m)
+                    for p in pending:
+                        meters.update({k: float(v) for k, v in p.items()})
+                    pending = []
                     print(
                         f"epoch {epoch} step {self.global_step} "
-                        f"loss {m['total']:.4f} "
+                        f"loss {meters.averages()['total']:.4f} "
                         f"data {timer.data_time.avg:.3f}s "
                         f"step {timer.step_time.avg:.3f}s"
                     )
-                else:
-                    meters.update({k: float(v) for k, v in metrics.items()})
+            for p in pending:
+                meters.update({k: float(v) for k, v in p.items()})
             avg = meters.averages()
             logger.log(
                 dict(

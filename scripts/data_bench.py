@@ -78,6 +78,30 @@ def bench(root: str, decode: str, workers: int, batch: int = 4,
     return n / dt
 
 
+def bench_packed(root: str, workers: int, batch: int = 4,
+                 n_batches: int = 24):
+    from diff_sal_tpu.data.loader import Loader
+    from diff_sal_tpu.data.packed import PackedVideoDataset, pack_dhf1k_tree
+
+    packed = os.path.join(root, "_packed")
+    if not os.path.exists(os.path.join(packed, "index.json")):
+        t0 = time.perf_counter()
+        pack_dhf1k_tree(root, packed)
+        print(f"# packed tree in {time.perf_counter() - t0:.1f}s")
+    ds = PackedVideoDataset(packed)
+    loader = Loader(ds, batch, shuffle=True, num_workers=workers)
+    it = iter(loader)
+    next(it)
+    t0 = time.perf_counter()
+    n = 0
+    for b in it:
+        assert b["rgb"].dtype == np.uint8
+        n += b["rgb"].shape[0]
+        if n >= n_batches * batch:
+            break
+    return n / (time.perf_counter() - t0)
+
+
 def main():
     n_videos = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 80
@@ -97,6 +121,13 @@ def main():
                 f"{decode:4s} workers={workers}: {cps:6.2f} clips/s "
                 f"(data time = {ratio:5.1f}% of step budget)"
             )
+    for workers in (0, 4):
+        cps = bench_packed(root, workers, batch=B)
+        ratio = need / cps * 100.0
+        print(
+            f"packed workers={workers}: {cps:6.2f} clips/s "
+            f"(data time = {ratio:5.1f}% of step budget)"
+        )
 
 
 if __name__ == "__main__":

@@ -185,3 +185,78 @@ def test_collate_mixed_types():
     assert out["x"].shape == (2, 2, 2)
     assert out["i"].tolist() == [3, 4]
     assert out["s"] == ["a", "b"]
+
+
+def test_packed_dataset_roundtrip(tmp_path):
+    """pack_dhf1k_tree -> PackedVideoDataset: decode-free uint8 items whose
+    frames match the source (data/packed.py), and the on-device
+    normalization matches the host loader's constants."""
+    import jax.numpy as jnp
+
+    from diff_sal_tpu.data.packed import PackedVideoDataset, pack_dhf1k_tree
+    from diff_sal_tpu.data.transforms import normalize_rgb_u8
+
+    rng = np.random.RandomState(3)
+    src = tmp_path / "src"
+    n_frames = 40
+    for vid in ("1", "2"):
+        (src / "frames" / vid).mkdir(parents=True)
+        (src / "maps" / vid).mkdir(parents=True)
+        for i in range(1, n_frames + 1):
+            Image.fromarray(
+                rng.randint(0, 255, (32, 48, 3), dtype=np.uint8)
+            ).save(src / "frames" / vid / f"{i}.png")
+            Image.fromarray(
+                rng.randint(0, 255, (32, 48), dtype=np.uint8)
+            ).save(src / "maps" / vid / ("%04d.png" % i))
+
+    packed = pack_dhf1k_tree(str(src), str(tmp_path / "dst"),
+                             img_size=(32, 48), decode="pil")
+    ds = PackedVideoDataset(packed, len_snippet=32, mode="train")
+    assert len(ds) == 2  # one 16-frame window per 40-frame video (stride 16)
+    item = ds[0]
+    assert item["rgb"].dtype == np.uint8
+    assert item["rgb"].shape == (16, 32, 48, 3)
+    assert item["salmap"].shape == (32, 48, 1)
+    assert 0.0 <= item["salmap"].min() and item["salmap"].max() <= 1.0
+    # frames identical to the source pixels (img_size == stored size)
+    src_img = np.asarray(Image.open(src / "frames" / "1" / "1.png"))
+    np.testing.assert_array_equal(item["rgb"][0], src_img)
+    # gt_index is 1-based like DHF1KDataset (center of frames 1..16 -> 9)
+    assert item["gt_index"] == 9
+
+    # on-device normalization == the host loader's float path
+    from diff_sal_tpu.data.video_datasets import IMAGENET_MEAN, IMAGENET_STD
+
+    dev = np.asarray(normalize_rgb_u8(jnp.asarray(item["rgb"])))
+    host = (item["rgb"].astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(dev, host, atol=1e-6)
+
+
+def test_packed_uint8_through_model(tmp_path):
+    """encode_visual normalizes uint8 input on device: same pyramid as
+    pre-normalized float input."""
+    import jax
+    import jax.numpy as jnp
+
+    from diff_sal_tpu.config import MViTConfig, ModelConfig, SalUNetConfig
+    from diff_sal_tpu.data.transforms import normalize_rgb_u8
+    from diff_sal_tpu.models.diff_model import VideoSaliencyModel
+
+    cfg = ModelConfig(
+        visual=MViTConfig.tiny(spatial_size=(64, 96)),
+        audio=None, spatiotemp=None,
+        decoder=SalUNetConfig(img_size=(64, 96)),
+    )
+    model = VideoSaliencyModel(cfg)
+    rng = np.random.RandomState(0)
+    rgb_u8 = jnp.asarray(rng.randint(0, 255, (1, 16, 64, 96, 3), np.uint8))
+    rgb_f = normalize_rgb_u8(rgb_u8)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        {"rgb": rgb_f, "input": jnp.zeros((1, 64, 96, 1))}, jnp.zeros((1,)),
+    )
+    p1 = model.apply(variables, rgb_u8, method=VideoSaliencyModel.encode_visual)
+    p2 = model.apply(variables, rgb_f, method=VideoSaliencyModel.encode_visual)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
