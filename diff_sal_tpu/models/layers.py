@@ -107,7 +107,8 @@ class ConvBNRelu(nn.Module):
             dtype=self.dtype, name="conv",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn",
         )(x)
         return nn.relu(x)
 

@@ -43,7 +43,8 @@ from diff_sal_tpu.models.layers import (
     salunet_init,
     timestep_embedding,
 )
-from diff_sal_tpu.ops.resize import bilinear_resize, nearest_upsample
+from diff_sal_tpu.ops.resize import (bilinear_resize, bilinear_resize_add,
+                                     nearest_upsample)
 
 
 class TimestepMLP(nn.Module):
@@ -73,7 +74,8 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb, train: bool = False):
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm1")(x)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+                         name="norm1")(x)
         h = jax.nn.silu(h)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, kernel_init=salunet_init,
@@ -83,7 +85,8 @@ class ResnetBlock(nn.Module):
             self.out_channels, kernel_init=salunet_init, dtype=self.dtype,
             name="temb_proj",
         )(jax.nn.silu(temb))[:, None, None, :].astype(h.dtype)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm2")(h)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+                         name="norm2")(h)
         h = jax.nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=not train)
         h = nn.Conv(
@@ -327,7 +330,7 @@ class UpEmbed(nn.Module):
             )(frames)
             frames = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                name=f"bn{i}",
+                dtype=self.dtype, name=f"bn{i}",
             )(frames)
             frames = nn.relu(frames)
         return frames.reshape(B, T, H * 2, W * 2, self.embed_dim)
@@ -423,7 +426,7 @@ class Decoder(nn.Module):
         n = cfg.mid_num_stages
         th, tw = h * 2 ** (n - 1) * 2, w * 2 ** (n - 1) * 2
 
-        acc = 0.0
+        acc = None
         for i in range(n):
             x = TransformerStage(
                 stage_idx=i,
@@ -446,7 +449,12 @@ class Decoder(nn.Module):
                 name=f"redu_chan{i}",
             )(normed)
             task = task[:, 0]  # (B, h_i, w_i, 768)
-            acc = acc + bilinear_resize(task, (th, tw))
+            if acc is None:
+                acc = bilinear_resize(task, (th, tw))
+            else:
+                # fused resize+accumulate kernel (ops/resize.py) — one pass,
+                # no transposed per-scale intermediates
+                acc = bilinear_resize_add(acc, task)
 
         return ConvBNRelu(cfg.down_embed_dim, dtype=self.dtype, name="mt_proj")(
             acc, train=train

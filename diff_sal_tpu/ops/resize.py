@@ -111,3 +111,94 @@ def trilinear_resize(
     x = linear_resize_1d(x, out_thw[1], axis=h_axis)
     x = linear_resize_1d(x, out_thw[2], axis=w_axis)
     return x
+
+
+# ---------------------------------------------------------------------------
+# Fused bilinear-resize + accumulate (Pallas TPU) for the decoder's
+# multi-scale sum (reference sal_unet.py:482-491): each scale's (B, h, w, C)
+# task map is resized to (H, W) and added into the running accumulator in
+# ONE kernel — XLA's separable-matmul lowering materializes transposed
+# (H, C, B, W)-layout intermediates per scale (~3-4 ms/iter at B=4, xplane).
+# ---------------------------------------------------------------------------
+
+
+def _resize_acc_kernel(acc_ref, x_ref, ah_ref, aw_ref, o_ref):
+    import jax
+
+    xv = x_ref[0].astype(jnp.float32)  # (h, w, ct)
+    h, w, ct = xv.shape
+    t1 = jnp.dot(
+        ah_ref[...], xv.reshape(h, w * ct),
+        preferred_element_type=jnp.float32,
+    ).reshape(-1, w, ct)  # (Ht, w, ct)
+    t2 = jax.lax.dot_general(
+        t1, aw_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Ht, ct, W)
+    o_ref[0] = acc_ref[0] + jnp.swapaxes(t2, 1, 2).astype(o_ref.dtype)
+
+
+def bilinear_resize_add(
+    acc: jnp.ndarray,  # (B, H, W, C)
+    x: jnp.ndarray,  # (B, h, w, C)
+    interpret: bool = None,
+) -> jnp.ndarray:
+    """acc + bilinear_resize(x, (H, W)), fused on TPU; identical jnp math
+    elsewhere. C must be a multiple of 128 on the kernel path (the decoder
+    sum runs at C=768)."""
+    import jax
+    from jax.experimental import pallas as pl
+
+    B, H, W, C = acc.shape
+    _, h, w, _ = x.shape
+    force_interpret = interpret == "force"  # pallas interpret mode (tests)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if (interpret and not force_interpret) or C % 128 or H % 8:
+        return acc + bilinear_resize(x, (H, W)).astype(acc.dtype)
+
+    ct = 128
+    ht = 8
+    for cand in (16, 8):
+        if H % cand == 0:
+            ht = cand
+            break
+    ah = jnp.asarray(_linear_weights(h, H), jnp.float32)
+    aw = jnp.asarray(_linear_weights(w, W), jnp.float32)
+
+    def fwd(acc, x):
+        return pl.pallas_call(
+            _resize_acc_kernel,
+            grid=(B, C // ct, H // ht),
+            in_specs=[
+                pl.BlockSpec((1, ht, W, ct), lambda b, c, i: (b, i, 0, c)),
+                pl.BlockSpec((1, h, w, ct), lambda b, c, i: (b, 0, 0, c)),
+                pl.BlockSpec((ht, h), lambda b, c, i: (i, 0)),
+                pl.BlockSpec((W, w), lambda b, c, i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, ht, W, ct), lambda b, c, i: (b, i, 0, c)
+            ),
+            out_shape=jax.ShapeDtypeStruct(acc.shape, acc.dtype),
+            input_output_aliases={0: 0},
+            interpret=force_interpret,
+        )(acc, x, ah, aw)
+
+    @jax.custom_vjp
+    def op(acc, x):
+        return fwd(acc, x)
+
+    x_dtype = x.dtype  # static at trace time
+
+    def op_fwd(acc, x):
+        return fwd(acc, x), None
+
+    def op_bwd(_, g):
+        # d_acc = g; d_x = Ah^T g Aw^T — the same separable structure
+        gh = jnp.einsum("oh,bowc->bhwc", jnp.asarray(ah), g.astype(jnp.float32))
+        gx = jnp.einsum("ow,bhoc->bhwc", jnp.asarray(aw), gh)
+        return g, gx.astype(x_dtype)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op(acc, x)

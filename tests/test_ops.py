@@ -155,3 +155,34 @@ def test_fused_layernorm_kernel_interpret():
     got = fused_layernorm(x, scale, bias, 1e-6, True)
     want = _ln_reference(x, scale, bias, 1e-6)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_bilinear_resize_add_kernel():
+    """Fused resize+accumulate kernel (interpret mode) == plain
+    bilinear_resize + add, fwd and grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diff_sal_tpu.ops.resize import bilinear_resize, bilinear_resize_add
+
+    rng = np.random.RandomState(0)
+    B, h, w, C = 2, 7, 12, 128
+    H, W = 16, 24
+    acc = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    x = jnp.asarray(rng.randn(B, h, w, C).astype(np.float32))
+
+    got = bilinear_resize_add(acc, x, interpret="force")
+    want = acc + bilinear_resize(x, (H, W))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def f(acc, x):
+        return jnp.sum(bilinear_resize_add(acc, x, interpret="force") ** 2)
+
+    def g(acc, x):
+        return jnp.sum((acc + bilinear_resize(x, (H, W))) ** 2)
+
+    g1 = jax.grad(f, argnums=(0, 1))(acc, x)
+    g2 = jax.grad(g, argnums=(0, 1))(acc, x)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
