@@ -143,8 +143,10 @@ def fused_bias_attention(
 
     lk_pad = _round_up(Lk, 128)
     # keep the f32 scores/bias tiles + kv within VMEM: ~3 * Tq * Lk_pad * 4B
-    # plus kv/q blocks must stay well under the ~16 MB budget
-    while q_tile > 128 and 3 * q_tile * lk_pad * 4 > 6 * 1024 * 1024:
+    # plus kv/q blocks must stay under the ~16 MB budget (10 MB leaves room
+    # for double buffering; larger tiles matter for the big-Lk blocks where
+    # a 128-row tile starves the MXU)
+    while q_tile > 128 and 3 * q_tile * lk_pad * 4 > 10 * 1024 * 1024:
         q_tile //= 2
     lq_pad = _round_up(Lq, q_tile)
     Et, Eh, Ew, maskrow = _expansion_matrices((kt, kh, kw), Lk, lk_pad)
