@@ -38,7 +38,12 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 mixed-precision compute (params stay f32)")
+    p.add_argument("--pallas", action="store_true",
+                   help="fused Pallas attention kernels (TPU; 2x train step)")
     p.add_argument("--log_freq", type=int, default=None)
+    p.add_argument("--decode", default="pil", choices=["pil", "cv2"],
+                   help="frame decode backend: pil (reference parity) or "
+                        "cv2 (2-3x faster)")
 
 
 def _make_cfg(args, audio_visual: bool):
@@ -57,6 +62,16 @@ def _make_cfg(args, audio_visual: bool):
     if getattr(args, "bf16", False):
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, compute_dtype="bfloat16")
+        )
+    if getattr(args, "pallas", False):
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                visual=dataclasses.replace(
+                    cfg.model.visual, use_pallas_attention=True
+                ),
+            ),
         )
     if getattr(args, "log_freq", None):
         cfg = dataclasses.replace(
@@ -93,9 +108,11 @@ def cmd_train_visual(args):
     else:
         ds_cls = {"dhf1k": DHF1KDataset, "holly": HollywoodDataset,
                   "ucf": UCFDataset}[args.data_type]
-        train_ds = ds_cls(args.path_data, args.len_snippet, "train")
+        train_ds = ds_cls(args.path_data, args.len_snippet, "train",
+                          decode=args.decode)
         val_ds = ds_cls(args.path_data, args.len_snippet, "val" if
-                        args.data_type == "dhf1k" else "test")
+                        args.data_type == "dhf1k" else "test",
+                        decode=args.decode)
     train_loader = Loader(train_ds, bs, shuffle=True, num_workers=args.n_threads)
     val_loader = (
         Loader(val_ds, bs, shuffle=False, num_workers=args.n_threads)

@@ -22,7 +22,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List, Tuple, Optional
 
 import numpy as np
 
@@ -87,21 +87,34 @@ class Loader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _batches(self) -> Iterator[List[int]]:
+    def _batches(self) -> Iterator[Tuple[List[int], int]]:
+        """Yields (index chunk, n_real). With pad_last the tail batch repeats
+        the last sample; n_real < len(chunk) marks the duplicates so eval
+        can exclude them (batch key "valid")."""
         idx = self._epoch_indices()
         for i in range(0, len(idx), self.batch_size):
             chunk = idx[i : i + self.batch_size].tolist()
-            if len(chunk) < self.batch_size:
+            n_real = len(chunk)
+            if n_real < self.batch_size:
                 if self.drop_last:
                     return
                 if self.pad_last:
-                    chunk = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
-            yield chunk
+                    chunk = chunk + [chunk[-1]] * (self.batch_size - n_real)
+            yield chunk, n_real
+
+    @staticmethod
+    def _finish(batch: Dict[str, np.ndarray], n_real: int, n_total: int):
+        if n_real < n_total:
+            batch["valid"] = (np.arange(n_total) < n_real).astype(np.float32)
+        return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.num_workers <= 0:
-            for chunk in self._batches():
-                yield collate([self.dataset[i] for i in chunk])
+            for chunk, n_real in self._batches():
+                yield self._finish(
+                    collate([self.dataset[i] for i in chunk]), n_real,
+                    len(chunk),
+                )
             return
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -110,11 +123,13 @@ class Loader:
         def producer():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 try:
-                    for chunk in self._batches():
+                    for chunk, n_real in self._batches():
                         if stop.is_set():
                             return
                         items = list(pool.map(self.dataset.__getitem__, chunk))
-                        out_q.put(collate(items))
+                        out_q.put(
+                            self._finish(collate(items), n_real, len(chunk))
+                        )
                 finally:
                     out_q.put(None)
 

@@ -40,16 +40,13 @@ def inverse_data_transform(cfg: DataTransformConfig, x: jnp.ndarray) -> jnp.ndar
     return jnp.clip(x, 0.0, 1.0)
 
 
-# ImageNet statistics for the on-device normalization of packed uint8 frames
-# (host loaders apply the same constants on floats, video_datasets.py:24-25)
-IMAGENET_MEAN = (0.485, 0.456, 0.406)
-IMAGENET_STD = (0.229, 0.224, 0.225)
-
-
 def normalize_rgb_u8(rgb: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """(..., 3) uint8 -> ImageNet-normalized float, fused on device. The
     packed input pipeline (data/packed.py) ships raw uint8 to the chip so
-    the host never touches float pixels."""
+    the host never touches float pixels. Shares the host loader's constants
+    (single source of truth in data/video_datasets.py)."""
+    from diff_sal_tpu.data.video_datasets import IMAGENET_MEAN, IMAGENET_STD
+
     mean = jnp.asarray(IMAGENET_MEAN, dtype)
     std = jnp.asarray(IMAGENET_STD, dtype)
     return (rgb.astype(dtype) / 255.0 - mean) / std

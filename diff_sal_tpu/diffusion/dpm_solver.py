@@ -147,7 +147,7 @@ def model_wrapper(
       * 'classifier-free' — e_uncond + s * (e_cond - e_uncond) (:300-327).
 
     Feed the result to `_Solver(..., training_target='noise',
-    continuous_time=True)` or `dpm_solver_sample(wrapped_eps_fn=...)`.
+    continuous_time=True)` or `dpm_solver_sample(..., wrapped_eps_fn=...)`.
     """
     import jax
 
@@ -463,22 +463,37 @@ class _Solver:
 
 def dpm_solver_sample(
     schedule: DiffusionSchedule,
-    denoise_fn: DenoiseFn,
+    denoise_fn: Optional[DenoiseFn],
     x: jnp.ndarray,
     *,
     sampling: SamplingConfig,
     training_target: str = "x0",
+    wrapped_eps_fn: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """Run DPM-Solver per the sampling config (reference sample_image's
-    dpmsolver branch, diffusion_trainer.py:582-636, with working glue)."""
+    dpmsolver branch, diffusion_trainer.py:582-636, with working glue).
+
+    Pass `wrapped_eps_fn` (a `model_wrapper` result — continuous-time noise
+    predictor, possibly guided) INSTEAD of `denoise_fn` to sample with
+    guidance."""
     ns = DiscreteVPSchedule(np.asarray(schedule.betas))
-    solver = _Solver(
-        ns,
-        denoise_fn,
-        algorithm=sampling.sample_type,
-        training_target=training_target,
-        thresholding=sampling.thresholding,
-    )
+    if wrapped_eps_fn is not None:
+        solver = _Solver(
+            ns,
+            wrapped_eps_fn,
+            algorithm=sampling.sample_type,
+            training_target="noise",
+            thresholding=sampling.thresholding,
+            continuous_time=True,
+        )
+    else:
+        solver = _Solver(
+            ns,
+            denoise_fn,
+            algorithm=sampling.sample_type,
+            training_target=training_target,
+            thresholding=sampling.thresholding,
+        )
     steps = sampling.timesteps - 1 if sampling.denoise else sampling.timesteps
     steps = max(steps, 1)
     if sampling.dpm_solver_method == "multistep":
@@ -663,10 +678,13 @@ def adaptive_sample(
         else:  # adaptive-23 (reference sampler.py:1006-1015)
             x_lower, m_s1 = second_order(x, s, t, m_s, r1=1.0 / 3.0)
             x_higher = third_order(x, s, t, m_s, m_s1)
+        # elementwise tolerance like the reference (sampler.py:994-996):
+        # delta = max(atol, rtol * max(|x_lower|, |x_prev|)) per element,
+        # error = RMS of the scaled difference
         delta = jnp.maximum(
-            atol, rtol * jnp.maximum(jnp.abs(x_lower), jnp.abs(x_prev)).max()
+            atol, rtol * jnp.maximum(jnp.abs(x_lower), jnp.abs(x_prev))
         )
-        err = jnp.sqrt(jnp.mean((x_higher - x_lower) ** 2)) / delta
+        err = jnp.sqrt(jnp.mean(((x_higher - x_lower) / delta) ** 2))
         accept = err <= 1.0
         s_new = jnp.where(accept, t, s)
         x_new = jnp.where(accept, x_higher, x)

@@ -19,9 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from diff_sal_tpu.ops.attention import _round_up
 
 
 def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, c_real: int,
@@ -29,7 +27,11 @@ def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, c_real: int,
     x = x_ref[...].astype(jnp.float32)
     # padded lanes are zero: sums are exact as long as we divide by c_real
     mean = jnp.sum(x, axis=-1, keepdims=True) / c_real
-    var = jnp.sum(x * x, axis=-1, keepdims=True) / c_real - mean * mean
+    # fast-variance form can go slightly negative from f32 cancellation on
+    # near-constant large-magnitude rows; clamp before rsqrt
+    var = jnp.maximum(
+        jnp.sum(x * x, axis=-1, keepdims=True) / c_real - mean * mean, 0.0
+    )
     y = (x - mean) * jax.lax.rsqrt(var + eps)
     o_ref[...] = (
         y * scale_ref[...].astype(jnp.float32)

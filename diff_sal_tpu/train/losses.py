@@ -35,17 +35,18 @@ def mse_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.sum(_flat((pred - gt) ** 2), axis=1))
 
 
-def nss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+def nss(pred: jnp.ndarray, gt: jnp.ndarray, reduce: bool = True) -> jnp.ndarray:
     """Normalized Scanpath Saliency against the (continuous) gt map, exactly
     as the reference computes it (sal_losses.py:14-35)."""
     p, g = _flat(pred), _flat(gt)
     p = (p - p.mean(axis=1, keepdims=True)) / (_std(p, keepdims=True) + EPS)
     num = jnp.sum(p * g, axis=1)
     cnt = jnp.sum(g, axis=1)
-    return jnp.mean(num / cnt)
+    v = num / cnt
+    return jnp.mean(v) if reduce else v
 
 
-def cc(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+def cc(pred: jnp.ndarray, gt: jnp.ndarray, reduce: bool = True) -> jnp.ndarray:
     """Pearson correlation (sal_losses.py:66-100)."""
     p, g = _flat(pred), _flat(gt)
     p = (p - p.mean(axis=1, keepdims=True)) / _std(p, keepdims=True)
@@ -53,15 +54,17 @@ def cc(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     ab = jnp.sum(p * g, axis=1)
     aa = jnp.sum(p * p, axis=1)
     bb = jnp.sum(g * g, axis=1)
-    return jnp.mean(ab / jnp.sqrt(aa * bb))
+    v = ab / jnp.sqrt(aa * bb)
+    return jnp.mean(v) if reduce else v
 
 
-def kldiv(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+def kldiv(pred: jnp.ndarray, gt: jnp.ndarray, reduce: bool = True) -> jnp.ndarray:
     """KL divergence between sum-normalized maps (sal_losses.py:103-128)."""
     p, g = _flat(pred), _flat(gt)
     p = p / jnp.sum(p, axis=1, keepdims=True)
     g = g / jnp.sum(g, axis=1, keepdims=True)
-    return jnp.mean(jnp.sum(g * jnp.log(EPS + g / (p + EPS)), axis=1))
+    v = jnp.sum(g * jnp.log(EPS + g / (p + EPS)), axis=1)
+    return jnp.mean(v) if reduce else v
 
 
 def _minmax_norm(x: jnp.ndarray) -> jnp.ndarray:
@@ -70,13 +73,14 @@ def _minmax_norm(x: jnp.ndarray) -> jnp.ndarray:
     return (x - mn) / (mx - mn)
 
 
-def similarity(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+def similarity(pred: jnp.ndarray, gt: jnp.ndarray, reduce: bool = True) -> jnp.ndarray:
     """Histogram intersection after min-max + sum normalization
     (sal_losses.py:151-176)."""
     p, g = _minmax_norm(_flat(pred)), _minmax_norm(_flat(gt))
     p = p / jnp.sum(p, axis=1, keepdims=True)
     g = g / jnp.sum(g, axis=1, keepdims=True)
-    return jnp.mean(jnp.sum(jnp.minimum(p, g), axis=1))
+    v = jnp.sum(jnp.minimum(p, g), axis=1)
+    return jnp.mean(v) if reduce else v
 
 
 def bce_loss(pred_logits: jnp.ndarray, label: jnp.ndarray, weights) -> jnp.ndarray:
@@ -108,17 +112,29 @@ def training_loss(
     return {"total": total, "main": main, "cc": cc_l, "sim": sim_l, "nss": nss_l}
 
 
-def eval_scores(pred: jnp.ndarray, gt: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+def _masked_mean(v: jnp.ndarray, mask) -> jnp.ndarray:
+    """Mean over the batch axis, optionally weighted by a (B,) validity
+    mask — padded duplicate samples (Loader pad_last) must not count."""
+    if mask is None:
+        return jnp.mean(v)
+    m = mask.astype(v.dtype)
+    return jnp.sum(v * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def eval_scores(
+    pred: jnp.ndarray, gt: jnp.ndarray, mask=None
+) -> Dict[str, jnp.ndarray]:
     """Unweighted eval metrics; `total = nss + cc + sim` is the
     model-selection score, maximized (reference sal_losses.py:207-233 +
     diffusion_trainer.py:276-280 — the reference names it `min_loss` but
-    compares with `>`; we keep the max-score semantics)."""
-    cc_v = cc(pred, gt)
-    sim_v = similarity(pred, gt)
-    nss_v = nss(pred, gt)
+    compares with `>`; we keep the max-score semantics). `mask` (B,)
+    excludes batch-padding duplicates from the averages."""
+    cc_v = _masked_mean(cc(pred, gt, reduce=False), mask)
+    sim_v = _masked_mean(similarity(pred, gt, reduce=False), mask)
+    nss_v = _masked_mean(nss(pred, gt, reduce=False), mask)
     return {
         "total": nss_v + cc_v + sim_v,
-        "kl": kldiv(pred, gt),
+        "kl": _masked_mean(kldiv(pred, gt, reduce=False), mask),
         "cc": cc_v,
         "sim": sim_v,
         "nss": nss_v,

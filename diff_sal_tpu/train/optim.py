@@ -26,9 +26,11 @@ def multistep_lr(
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 
-def make_optimizer(
+def make_optimizer_and_schedule(
     cfg: OptimConfig, steps_per_epoch: int, n_epochs: int
-) -> optax.GradientTransformation:
+):
+    """(optimizer, lr schedule) — the schedule is returned so callers log
+    the SAME function the optimizer applies (no re-derivation drift)."""
     schedule = multistep_lr(
         cfg.lr, steps_per_epoch, n_epochs, cfg.milestone_fracs, cfg.gamma
     )
@@ -43,4 +45,10 @@ def make_optimizer(
             opt = optax.adam(schedule, b1=cfg.beta1, b2=0.999, eps=cfg.eps)
     else:
         raise NotImplementedError(cfg.optimizer)
-    return optax.chain(*tx, opt)
+    return optax.chain(*tx, opt), schedule
+
+
+def make_optimizer(
+    cfg: OptimConfig, steps_per_epoch: int, n_epochs: int
+) -> optax.GradientTransformation:
+    return make_optimizer_and_schedule(cfg, steps_per_epoch, n_epochs)[0]

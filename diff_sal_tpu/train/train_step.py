@@ -137,6 +137,13 @@ def make_eval_step(
             rng=rng,
             training_target=cfg.training.training_target,
         )
-        return eval_scores(pred, batch["salmap"].astype(jnp.float32)), pred
+        return (
+            eval_scores(
+                pred,
+                batch["salmap"].astype(jnp.float32),
+                mask=batch.get("valid"),
+            ),
+            pred,
+        )
 
     return eval_step

@@ -27,7 +27,7 @@ from diff_sal_tpu.parallel.mesh import (
     shard_batch,
 )
 from diff_sal_tpu.train.checkpoint import CheckpointManager, partial_load
-from diff_sal_tpu.train.optim import make_optimizer
+from diff_sal_tpu.train.optim import make_optimizer_and_schedule
 from diff_sal_tpu.train.train_step import (
     TrainState,
     create_train_state,
@@ -41,7 +41,7 @@ from diff_sal_tpu.utils.logging import (
     save_saliency_image,
 )
 
-ARRAY_KEYS = ("rgb", "salmap", "audio")
+ARRAY_KEYS = ("rgb", "salmap", "audio", "valid")
 
 
 def _device_batch(batch: Dict) -> Dict:
@@ -68,14 +68,11 @@ class Trainer:
             cfg.diffusion.num_diffusion_timesteps,
         )
         self.n_epochs = n_epochs or cfg.training.n_epochs
-        self.tx = make_optimizer(cfg.optim, steps_per_epoch, self.n_epochs)
-        # the actual per-step lr, for logging (reference logs the live
-        # optimizer lr each epoch: diffusion_trainer.py:430, util/utils.py:88)
-        from diff_sal_tpu.train.optim import multistep_lr
-
-        self.lr_schedule = multistep_lr(
-            cfg.optim.lr, steps_per_epoch, self.n_epochs,
-            cfg.optim.milestone_fracs, cfg.optim.gamma,
+        # lr schedule shared with the optimizer so the logged lr is the one
+        # actually applied (reference logs the live optimizer lr each epoch:
+        # diffusion_trainer.py:430, util/utils.py:88)
+        self.tx, self.lr_schedule = make_optimizer_and_schedule(
+            cfg.optim, steps_per_epoch, self.n_epochs
         )
         self.ckpt = CheckpointManager(os.path.join(workdir, "weights"))
 
@@ -265,7 +262,14 @@ class Trainer:
             if self.mesh is not None:
                 db = shard_batch(db, self.mesh)
             scores, pred = self.eval_step(state, db, step_rng)
-            n = batch["rgb"].shape[0]
+            # padded tail batches (Loader pad_last) carry a "valid" mask;
+            # eval_step already excludes pads from the averages — weight the
+            # meter by the real count too
+            n = (
+                int(batch["valid"].sum())
+                if "valid" in batch
+                else batch["rgb"].shape[0]
+            )
             meters.update({k: float(v) for k, v in scores.items()}, n)
             if save_images_dir:
                 self._dump_images(batch, pred, save_images_dir)

@@ -260,3 +260,17 @@ def test_packed_uint8_through_model(tmp_path):
     p2 = model.apply(variables, rgb_f, method=VideoSaliencyModel.encode_visual)
     for a, b in zip(p1, p2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_loader_pad_last_valid_mask():
+    """pad_last batches carry a 'valid' mask marking real vs duplicated
+    samples; full batches carry none."""
+    ds = SyntheticVisualDataset(n=5, img_size=(16, 24), frames=4)
+    loader = Loader(ds, 2, shuffle=False, drop_last=False, pad_last=True,
+                    num_workers=0)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert "valid" not in batches[0] and "valid" not in batches[1]
+    np.testing.assert_array_equal(batches[2]["valid"], [1.0, 0.0])
+    # the padded row is a copy of the last real one
+    np.testing.assert_array_equal(batches[2]["rgb"][0], batches[2]["rgb"][1])

@@ -118,3 +118,24 @@ def test_perfect_prediction_scores():
     np.testing.assert_allclose(float(s["cc"]), 1.0, atol=1e-5)
     np.testing.assert_allclose(float(s["sim"]), 1.0, atol=1e-5)
     np.testing.assert_allclose(float(s["kl"]), 0.0, atol=1e-5)
+
+
+def test_eval_scores_mask_excludes_padding():
+    from diff_sal_tpu.train.losses import eval_scores
+
+    """eval_scores with a validity mask over a padded batch equals the
+    unpadded scores (Loader pad_last duplicates must not count twice)."""
+    rng = np.random.RandomState(0)
+    pred = rng.rand(3, 8, 12, 1).astype(np.float32)
+    gt = rng.rand(3, 8, 12, 1).astype(np.float32) + 0.01
+    padded_pred = np.concatenate([pred, pred[-1:]], axis=0)
+    padded_gt = np.concatenate([gt, gt[-1:]], axis=0)
+    mask = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+
+    want = eval_scores(jnp.asarray(pred), jnp.asarray(gt))
+    got = eval_scores(jnp.asarray(padded_pred), jnp.asarray(padded_gt), mask)
+    for k in want:
+        np.testing.assert_allclose(float(got[k]), float(want[k]), rtol=1e-5)
+    # without the mask the duplicate skews the average
+    skewed = eval_scores(jnp.asarray(padded_pred), jnp.asarray(padded_gt))
+    assert abs(float(skewed["total"]) - float(want["total"])) > 1e-6
