@@ -34,3 +34,25 @@ def test_train_av_defaults():
 def test_eval_metrics_requires_gt_root():
     with pytest.raises(SystemExit):
         build_parser().parse_args(["eval-metrics", "some/path", "dhf1k"])
+
+
+def test_perf_flags_plumb_into_config():
+    from diff_sal_tpu.cli import _make_cfg
+
+    args = build_parser().parse_args(
+        ["train-visual", "--bf16", "--pallas", "--log_freq", "7"]
+    )
+    cfg = _make_cfg(args, audio_visual=False)
+    assert cfg.model.compute_dtype == "bfloat16"
+    assert cfg.model.visual.use_pallas_attention is True
+    assert cfg.training.log_freq == 7
+    assert args.decode == "pil"  # parity default
+
+
+def test_test_av_args_parse():
+    args = build_parser().parse_args(
+        ["test-av", "--splits", "split2", "--save_img"]
+    )
+    assert args.splits == "split2"
+    assert args.save_img is True
+    assert args.fn.__name__ == "cmd_test_av"

@@ -348,3 +348,31 @@ def test_model_wrapper_drives_solver():
     y = sol.sample_multistep(x, steps=10, order=2)
     y = sol.denoise_to_zero(y)
     np.testing.assert_allclose(np.asarray(y), c, atol=1e-3)
+
+
+def test_dpm_solver_sample_with_wrapped_guidance():
+    """dpm_solver_sample(wrapped_eps_fn=...) runs a model_wrapper result
+    through the config-driven entry (guided sampling glue)."""
+    from diff_sal_tpu.diffusion.dpm_solver import model_wrapper
+
+    schedule = make_schedule("cosine", num_diffusion_timesteps=1000)
+    ns = _ns()
+    c = 0.3
+
+    def fn(x, tv, cond):
+        # x0-predictor conditioned on cond (point mass at cond)
+        return jnp.full_like(x, float(cond))
+
+    eps_fn = model_wrapper(
+        fn, ns, model_type="x_start", guidance_type="classifier-free",
+        condition=c, unconditional_condition=c, guidance_scale=2.0,
+    )
+    cfg = SamplingConfig(
+        sample_type="dpmsolver++", timesteps=5, dpm_solver_order=2,
+        dpm_solver_method="multistep", denoise=True,
+    )
+    x = jnp.ones((1, 4, 4, 1))
+    out = dpm_solver_sample(
+        schedule, None, x, sampling=cfg, wrapped_eps_fn=eps_fn
+    )
+    np.testing.assert_allclose(np.asarray(out), c, atol=2e-3)
