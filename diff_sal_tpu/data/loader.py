@@ -102,9 +102,12 @@ class Loader:
                     chunk = chunk + [chunk[-1]] * (self.batch_size - n_real)
             yield chunk, n_real
 
-    @staticmethod
-    def _finish(batch: Dict[str, np.ndarray], n_real: int, n_total: int):
-        if n_real < n_total:
+    def _finish(self, batch: Dict[str, np.ndarray], n_real: int, n_total: int):
+        # with pad_last EVERY batch carries the mask (all-ones when full) so
+        # the tail batch shares the same pytree structure as the rest — a
+        # structure change would trigger a second full jit compile of
+        # eval_step mid-evaluation
+        if self.pad_last:
             batch["valid"] = (np.arange(n_total) < n_real).astype(np.float32)
         return batch
 

@@ -54,6 +54,8 @@ def pack_dhf1k_tree(
 
             flag = cv2.IMREAD_GRAYSCALE if gray else cv2.IMREAD_COLOR
             arr = cv2.imread(path, flag)
+            if arr is None:  # cv2 returns None instead of raising
+                raise FileNotFoundError(path)
             arr = cv2.resize(
                 arr, (img_size[1], img_size[0]),
                 interpolation=cv2.INTER_LINEAR,

@@ -38,6 +38,8 @@ def load_rgb_frame(
         import cv2
 
         arr = cv2.imread(path, cv2.IMREAD_COLOR)  # BGR uint8
+        if arr is None:  # cv2 returns None instead of raising
+            raise FileNotFoundError(path)
         arr = cv2.resize(
             arr, (img_size[1], img_size[0]), interpolation=cv2.INTER_LINEAR
         )
@@ -57,6 +59,8 @@ def load_gt_map(
         import cv2
 
         arr = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        if arr is None:
+            raise FileNotFoundError(path)
         arr = cv2.resize(
             arr, (img_size[1], img_size[0]), interpolation=cv2.INTER_LINEAR
         )

@@ -147,19 +147,37 @@ def model_wrapper(
       * 'classifier-free' — e_uncond + s * (e_cond - e_uncond) (:300-327).
 
     Feed the result to `_Solver(..., training_target='noise',
-    continuous_time=True)` or `dpm_solver_sample(..., wrapped_eps_fn=...)`.
+    continuous_time=True)`, `dpm_solver_sample(..., wrapped_eps_fn=...)` or
+    `adaptive_sample(..., wrapped_eps_fn=...)`.
+
+    Times may be host floats (the static-step samplers, where the
+    alpha/sigma conversions fold into trace-time constants) OR traced
+    scalars (the adaptive solver's while_loop, where they become jnp.interp
+    lookups over the discrete schedule grid).
     """
     import jax
 
-    def _t_in(x, t: float):
+    # jnp view of the schedule for traced times (same grid _TracedSchedule
+    # interpolates over)
+    _t_grid = jnp.asarray(ns.t_array, jnp.float32)
+    _la_grid = jnp.asarray(ns.log_alpha_array, jnp.float32)
+
+    def _alpha_sigma(t):
+        if isinstance(t, (float, int)):
+            return float(ns.marginal_alpha(t)), float(ns.marginal_std(t))
+        la = jnp.interp(t, _t_grid, _la_grid)
+        return jnp.exp(la), jnp.sqrt(1.0 - jnp.exp(2.0 * la))
+
+    def _t_in(x, t):
+        # jnp.full accepts traced fill values; model_input_time is plain
+        # arithmetic so it works on host floats and tracers alike
         return jnp.full((x.shape[0],), ns.model_input_time(t), jnp.float32)
 
-    def noise_pred(x, t: float, cond):
+    def noise_pred(x, t, cond):
         out = model_fn(x, _t_in(x, t), cond)
         if model_type == "noise":
             return out
-        a = float(ns.marginal_alpha(t))
-        s = float(ns.marginal_std(t))
+        a, s = _alpha_sigma(t)
         if model_type == "x_start":
             return (x - a * out) / s
         if model_type == "v":
@@ -174,12 +192,12 @@ def model_wrapper(
     if guidance_type == "classifier":
         assert classifier_fn is not None
 
-        def eps(x, t: float):
+        def eps(x, t):
             def log_prob(xi):
                 return classifier_fn(xi, _t_in(xi, t), condition).sum()
 
             grad = jax.grad(log_prob)(x)
-            s = float(ns.marginal_std(t))
+            _, s = _alpha_sigma(t)
             return noise_pred(x, t, None) - guidance_scale * s * grad
 
         return eps
@@ -567,12 +585,18 @@ def adaptive_sample(
     theta: float = 0.9,
     h_init: float = 0.05,
     max_steps: int = 200,
+    wrapped_eps_fn: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """Adaptive DPM-Solver-12 (order=2) / DPM-Solver-23 (order=3): low- vs
     high-order singlestep error control with step acceptance, as a jittable
     while_loop (reference sampler.py:973-1032). Order 2 compares first-order
     vs singlestep-2 (r1=0.5); order 3 compares singlestep-2 (r1=1/3, reusing
-    its intermediate model call) vs singlestep-3 (r1=1/3, r2=2/3)."""
+    its intermediate model call) vs singlestep-3 (r1=1/3, r2=2/3).
+
+    `wrapped_eps_fn` (from `model_wrapper`, which the reference pairs with
+    the adaptive solver for guided sampling, sampler.py:1091-1099) overrides
+    `denoise_fn`/`training_target`: a continuous-time noise predictor
+    `eps(x, t)` called with the loop's traced times."""
     import jax
 
     assert order in (2, 3), order
@@ -584,6 +608,11 @@ def adaptive_sample(
     data_pred = algorithm == "dpmsolver++"
 
     def model(x, t):
+        if wrapped_eps_fn is not None:
+            eps = wrapped_eps_fn(x, t)
+            if data_pred:
+                return (x - ns.sigma(t) * eps) / ns.alpha(t)
+            return eps
         t_in = jnp.full((x.shape[0],), ns.model_input_time(t), jnp.float32)
         raw = denoise_fn(x, t_in)
         if training_target == "x0":
@@ -678,13 +707,16 @@ def adaptive_sample(
         else:  # adaptive-23 (reference sampler.py:1006-1015)
             x_lower, m_s1 = second_order(x, s, t, m_s, r1=1.0 / 3.0)
             x_higher = third_order(x, s, t, m_s, m_s1)
-        # elementwise tolerance like the reference (sampler.py:994-996):
+        # elementwise tolerance like the reference (sampler.py:994-1002):
         # delta = max(atol, rtol * max(|x_lower|, |x_prev|)) per element,
-        # error = RMS of the scaled difference
+        # error = per-sample RMS of the scaled difference, reduced with MAX
+        # over the batch (the reference's `norm_fn` is an L2 over each
+        # sample's flattened tail dims followed by .max())
         delta = jnp.maximum(
             atol, rtol * jnp.maximum(jnp.abs(x_lower), jnp.abs(x_prev))
         )
-        err = jnp.sqrt(jnp.mean(((x_higher - x_lower) / delta) ** 2))
+        v = ((x_higher - x_lower) / delta).reshape(x.shape[0], -1)
+        err = jnp.max(jnp.sqrt(jnp.mean(v**2, axis=-1)))
         accept = err <= 1.0
         s_new = jnp.where(accept, t, s)
         x_new = jnp.where(accept, x_higher, x)
@@ -698,7 +730,12 @@ def adaptive_sample(
     s0 = jnp.asarray(t_T, jnp.float32)
     carry = (s0, jnp.asarray(h_init, jnp.float32), x, x, jnp.asarray(0))
     s, h, x, _, nfe = jax.lax.while_loop(cond, body, carry)
-    # final denoise to x0
+    # final denoise to x0 (t_0 is a host float -> constant coefficients)
+    if wrapped_eps_fn is not None:
+        eps = wrapped_eps_fn(x, t_0)
+        a0 = float(ns_host.marginal_alpha(t_0))
+        s0_ = float(ns_host.marginal_std(t_0))
+        return (x - s0_ * eps) / a0
     raw = denoise_fn(
         x, jnp.full((x.shape[0],), ns.model_input_time(t_0), jnp.float32)
     )

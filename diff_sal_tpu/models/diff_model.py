@@ -61,7 +61,9 @@ class VideoSaliencyModel(nn.Module):
         With `visual=None` (decoder-only ablation) the reference substitutes
         a fresh RANDOM feature pyramid at the shapes MViT would have produced
         (diff_model.py:100-109) — replicated here. Callers must provide a
-        'pyramid' rng (falls back to the deterministic key 0 outside init)."""
+        'pyramid' rng (the reference draws fresh torch.randn per call; a
+        silent fixed-key fallback would freeze the ablation's features, so
+        a missing rng raises outside of `init`)."""
         if rgb.dtype == jnp.uint8:
             from diff_sal_tpu.data.transforms import normalize_rgb_u8
 
@@ -75,8 +77,13 @@ class VideoSaliencyModel(nn.Module):
         t4, h4, w4 = T // 2, H // 4, W // 4
         if self.has_rng("pyramid"):
             key = self.make_rng("pyramid")
-        else:
+        elif self.is_initializing():
             key = jax.random.PRNGKey(0)
+        else:
+            raise ValueError(
+                "visual=None (random-pyramid ablation) requires a 'pyramid' "
+                "rng: model.apply(..., rngs={'pyramid': key})"
+            )
         dims = (768, 384, 192, 96)  # coarse-first, /8 /4 /2 /1 of (h4, w4)
         return [
             jax.random.normal(

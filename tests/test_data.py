@@ -263,14 +263,16 @@ def test_packed_uint8_through_model(tmp_path):
 
 
 def test_loader_pad_last_valid_mask():
-    """pad_last batches carry a 'valid' mask marking real vs duplicated
-    samples; full batches carry none."""
+    """pad_last batches ALL carry a 'valid' mask (all-ones when full) so
+    every batch shares one jit signature — a tail-only mask would change the
+    pytree structure and trigger a second full eval_step compile."""
     ds = SyntheticVisualDataset(n=5, img_size=(16, 24), frames=4)
     loader = Loader(ds, 2, shuffle=False, drop_last=False, pad_last=True,
                     num_workers=0)
     batches = list(loader)
     assert len(batches) == 3
-    assert "valid" not in batches[0] and "valid" not in batches[1]
+    np.testing.assert_array_equal(batches[0]["valid"], [1.0, 1.0])
+    np.testing.assert_array_equal(batches[1]["valid"], [1.0, 1.0])
     np.testing.assert_array_equal(batches[2]["valid"], [1.0, 0.0])
     # the padded row is a copy of the last real one
     np.testing.assert_array_equal(batches[2]["rgb"][0], batches[2]["rgb"][1])

@@ -376,3 +376,68 @@ def test_dpm_solver_sample_with_wrapped_guidance():
         schedule, None, x, sampling=cfg, wrapped_eps_fn=eps_fn
     )
     np.testing.assert_allclose(np.asarray(out), c, atol=2e-3)
+
+
+def test_adaptive_sample_with_wrapped_guidance():
+    """adaptive_sample(wrapped_eps_fn=...) — the model_wrapper/adaptive
+    pairing the reference uses for guided sampling (sampler.py:1091-1099).
+    The wrapper's alpha/sigma conversions must accept the while_loop's
+    traced times (jnp.interp path) and the host-float final denoise."""
+    from diff_sal_tpu.diffusion.dpm_solver import adaptive_sample, model_wrapper
+
+    schedule = make_schedule("cosine", num_diffusion_timesteps=1000)
+    ns = _ns()
+    c = 0.35
+
+    def fn(x, tv, cond):
+        return jnp.full_like(x, float(cond))
+
+    eps_fn = model_wrapper(
+        fn, ns, model_type="x_start", guidance_type="classifier-free",
+        condition=c, unconditional_condition=c, guidance_scale=2.0,
+    )
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 6, 6, 1).astype(np.float32))
+    for order in (2, 3):
+        out = adaptive_sample(
+            schedule, None, x, algorithm="dpmsolver++", order=order,
+            wrapped_eps_fn=eps_fn,
+        )
+        np.testing.assert_allclose(np.asarray(out), c, atol=2e-3)
+
+
+def test_adaptive_error_is_per_sample_rms_max():
+    """Step-acceptance error = max over batch of per-sample RMS (reference
+    sampler.py:1001-1002): a batch with one hard sample must take at least
+    as many accepted steps as the hard sample alone (a whole-batch RMS
+    would dilute the hard sample's error and accept looser steps)."""
+    import jax
+
+    from diff_sal_tpu.diffusion.dpm_solver import adaptive_sample
+
+    schedule = make_schedule("cosine", num_diffusion_timesteps=1000)
+
+    def model(x, t_vec):
+        return 0.9 * x  # linear ODE: per-sample error scales with |x|
+
+    rs = np.random.RandomState(7)
+    easy = 0.01 * rs.randn(1, 6, 6, 1).astype(np.float32)
+    hard = 5.0 + rs.randn(1, 6, 6, 1).astype(np.float32)
+    ref = np.asarray(
+        _Solver(_ns(), model, algorithm="dpmsolver++").sample_multistep(
+            jnp.asarray(hard), steps=256, order=2
+        )
+    )
+    mixed = np.concatenate([easy, hard], axis=0)
+    out_mixed = np.asarray(
+        adaptive_sample(schedule, model, jnp.asarray(mixed),
+                        algorithm="dpmsolver++")
+    )[1:]
+    out_solo = np.asarray(
+        adaptive_sample(schedule, model, jnp.asarray(hard),
+                        algorithm="dpmsolver++")
+    )
+    # the hard sample's accuracy must not degrade from sharing a batch with
+    # an easy sample
+    err_mixed = np.abs(out_mixed - ref).max()
+    err_solo = np.abs(out_solo - ref).max()
+    assert err_mixed <= err_solo * 1.05 + 1e-4, (err_mixed, err_solo)
