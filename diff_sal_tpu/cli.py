@@ -44,6 +44,9 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--decode", default="pil", choices=["pil", "cv2"],
                    help="frame decode backend: pil (reference parity) or "
                         "cv2 (2-3x faster)")
+    p.add_argument("--fresh_eval_noise", action="store_true",
+                   help="draw fresh starting noise per evaluation (reference "
+                        "behavior) instead of the deterministic default")
 
 
 def _make_cfg(args, audio_visual: bool):
@@ -78,6 +81,11 @@ def _make_cfg(args, audio_visual: bool):
             cfg, training=dataclasses.replace(cfg.training,
                                               log_freq=args.log_freq)
         )
+    if getattr(args, "fresh_eval_noise", False):
+        cfg = dataclasses.replace(
+            cfg, training=dataclasses.replace(cfg.training,
+                                              eval_fixed_rng=False)
+        )
     return cfg
 
 
@@ -110,8 +118,11 @@ def cmd_train_visual(args):
                   "ucf": UCFDataset}[args.data_type]
         train_ds = ds_cls(args.path_data, args.len_snippet, "train",
                           decode=args.decode)
-        val_ds = ds_cls(args.path_data, args.len_snippet, "val" if
-                        args.data_type == "dhf1k" else "test",
+        # "val" for every data_type: Holly/UCF map it to the `testing` tree
+        # WITH GT maps — the reference's get_val_loader builds mode="val"
+        # datasets for all three (cfgs/visual.py:96-104), and holly/ucf
+        # "test" mode would drop the GT the score needs
+        val_ds = ds_cls(args.path_data, args.len_snippet, "val",
                         decode=args.decode)
     train_loader = Loader(train_ds, bs, shuffle=True, num_workers=args.n_threads)
     val_loader = (
@@ -155,18 +166,32 @@ def cmd_train_av(args):
 
 
 def cmd_test(args):
+    """Visual test entry for any of the three datasets (reference `test()`
+    scores whatever loader the config built — diffusion_trainer.py:714-765
+    via get_val_loader; Holly/UCF val datasets read the `testing` trees,
+    holly2wood_dataset.py:35-45). Loads best.pth-equivalent when present,
+    else the latest checkpoint, and dumps '<vid>/<gid>.png' predictions."""
     from diff_sal_tpu.data.loader import Loader
-    from diff_sal_tpu.data.video_datasets import DHF1KDataset
+    from diff_sal_tpu.data.video_datasets import (
+        DHF1KDataset,
+        HollywoodDataset,
+        UCFDataset,
+    )
     from diff_sal_tpu.train.trainer import Trainer
 
     cfg = _make_cfg(args, audio_visual=False)
-    ds = DHF1KDataset(args.path_data, args.len_snippet, "val")
+    ds_cls = {"dhf1k": DHF1KDataset, "holly": HollywoodDataset,
+              "ucf": UCFDataset}[args.data_type]
+    ds = ds_cls(args.path_data, args.len_snippet, "val", decode=args.decode)
     loader = Loader(ds, cfg.training.batch_size, shuffle=False,
                     num_workers=args.n_threads)
     t = Trainer(cfg, args.workdir, steps_per_epoch=1,
                 use_mesh=not args.no_mesh)
     t.init_state(next(iter(loader)))
-    t.resume()
+    try:
+        t.restore_best()  # reference test() loads weights/best.pth (:722-729)
+    except FileNotFoundError:
+        t.resume()
     scores = t.evaluate(loader, save_images_dir=args.out_dir)
     print(json.dumps({k: round(v, 4) for k, v in scores.items()}))
 
@@ -249,6 +274,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("test")
     _common(p)
+    p.add_argument("--data_type", default="dhf1k",
+                   choices=["dhf1k", "holly", "ucf"])
     p.add_argument("--out_dir", default="results")
     p.set_defaults(fn=cmd_test)
 

@@ -94,6 +94,12 @@ class TrainingConfig:
     # cfgs/diffusion.yml:21 — ours works, same default)
     ema: bool = False
     ema_rate: float = 0.9999
+    # Eval noise draws: True (default) fixes the eval rng so repeated
+    # evaluations rank checkpoints on identical noise (deterministic model
+    # selection); False draws fresh starting noise per evaluation like the
+    # reference's per-batch randn (diffusion_trainer.py:118-120). Only
+    # matters for samplers with NFE>1 or non-zero starting-noise influence.
+    eval_fixed_rng: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -13,11 +13,20 @@ audio_type='mel') and the loader factory `datasets/prepare_data.py:44-151`:
 * GT `maps/eyeMap_%05d.jpg` at the ROUND_HALF_UP median frame; an all-zero
   GT resamples a random earlier index (:369-392 — kept behind
   `resample_zero_gt`, with the index<=1 crash guarded),
-* audio: WAV excerpt covering the window, center-padded into 35280 samples,
-  VGGish log-mel -> 9 examples -> (9, 112, 192, 1) (audio/mel.py).
+* audio: one of three `audio_type`s selected by config (reference
+  saliency_db.py:343-368; cfgs/dataset.json:81):
+    'mel'  — WAV excerpt center-padded into 35280 samples, VGGish log-mel
+             -> 9 examples -> (9, 112, 192, 1) (audio/mel.py); the type the
+             shipped model consumes,
+    'spec' — standardized log-spectrogram of the center-padded excerpt,
+             (257, 219, 1) channel-last (reference (1, 257, 219),
+             saliency_db.py:403-447),
+    'ori'  — the raw excerpt front-padded/truncated to 35280 samples,
+             (1, 35280, 1) channel-last (reference (1, 1, 35280),
+             saliency_db.py:499-530).
 
 Items are channel-last numpy:
-  {"rgb": (16,224,384,3), "salmap": (224,384,1), "audio": (9,112,192,1),
+  {"rgb": (16,224,384,3), "salmap": (224,384,1), "audio": see above,
    "video_id": str, "gt_index": int, "dataset": str}
 """
 
@@ -118,8 +127,11 @@ class AVSaliencyDataset:
         img_size: Tuple[int, int] = (224, 384),
         audio_size: Tuple[int, int] = (112, 192),
         resample_zero_gt: bool = True,
+        audio_type: str = "mel",
     ):
+        assert audio_type in ("mel", "spec", "ori"), audio_type
         self.name = name
+        self.audio_type = audio_type
         self.with_audio = with_audio
         self.img_size = img_size
         self.audio_size = tuple(audio_size)
@@ -203,9 +215,23 @@ class AVSaliencyDataset:
             a = self.audio[s["video_id"]]
             lo = a["starts"][indices[0]]
             hi = a["ends"][indices[-1]]
-            item["audio"] = clip_audio_to_model_input(
-                a["wav"][lo : hi + 1], a["sr"], hw=self.audio_size
-            )
+            excerpt = a["wav"][lo : hi + 1]
+            if self.audio_type == "mel":
+                item["audio"] = clip_audio_to_model_input(
+                    excerpt, a["sr"], hw=self.audio_size
+                )
+            elif self.audio_type == "spec":
+                from diff_sal_tpu.audio.features import spec_feature
+
+                # (1, 257, n) -> channel-last (257, n, 1)
+                item["audio"] = np.moveaxis(
+                    spec_feature(excerpt, a["sr"]), 0, -1
+                )
+            else:  # "ori"
+                from diff_sal_tpu.audio.features import raw_feature
+
+                # (1, 1, 35280) -> channel-last (1, 35280, 1)
+                item["audio"] = np.moveaxis(raw_feature(excerpt), 0, -1)
         return item
 
 
@@ -252,6 +278,7 @@ def build_av_datasets(
                     data_config.get("audio_size", [192, 112])[1],
                     data_config.get("audio_size", [192, 112])[0],
                 ),
+                audio_type=data_config.get("audio_type", "mel"),
             )
         )
     return ConcatDataset(parts)

@@ -76,3 +76,36 @@ def shard_batch(batch, mesh: Mesh):
     'data'."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def tensor_parallel_param_shardings(params, mesh: Mesh, min_dim: int = 256):
+    """Sharding pytree putting large kernels' output-feature axis on the
+    'model' mesh axis (replicating everything else).
+
+    This is the tensor-parallel entry point the ('data', 'model') mesh
+    provisions: annotate parameters with these shardings under `jit` and
+    GSPMD partitions the matmuls and inserts the collectives — no explicit
+    psum code, in contrast to the reference's NCCL DDP which replicates all
+    parameters (model.py:13-15; the reference has no TP at all, SURVEY.md
+    §2.6). Kernels qualify when their LAST axis (flax puts output features
+    last for Dense and Conv alike) is divisible by the model-axis size and
+    at least `min_dim` wide — small norms/biases stay replicated where
+    sharding would only add latency.
+    """
+    n_model = mesh.shape["model"]
+    repl = NamedSharding(mesh, P())
+
+    def rule(x):
+        if (
+            n_model > 1
+            and hasattr(x, "ndim")
+            and x.ndim >= 2
+            and x.shape[-1] >= min_dim
+            and x.shape[-1] % n_model == 0
+        ):
+            return NamedSharding(
+                mesh, P(*([None] * (x.ndim - 1) + ["model"]))
+            )
+        return repl
+
+    return jax.tree.map(rule, params)

@@ -244,13 +244,24 @@ class Trainer:
     # ------------------------------------------------------------------
     def evaluate(
         self, loader, save_images_dir: Optional[str] = None,
-        use_ema: bool = False,
+        use_ema: bool = False, rng: Optional[jax.Array] = None,
     ) -> Dict[str, float]:
         """Validation/test loop (reference val/test/test_av_data,
         diffusion_trainer.py:642-896): sample with the configured sampler,
-        average nss+cc+sim over the *full* set (not a rank shard)."""
+        average nss+cc+sim over the *full* set (not a rank shard).
+
+        Noise rng: fixed key by default (deterministic checkpoint ranking);
+        `training.eval_fixed_rng=False` draws a fresh seed per evaluation,
+        matching the reference's fresh randn per run
+        (diffusion_trainer.py:118-120)."""
         meters = AverageMeterDict()
-        rng = jax.random.PRNGKey(0)
+        if rng is None:
+            if self.cfg.training.eval_fixed_rng:
+                rng = jax.random.PRNGKey(0)
+            else:
+                rng = jax.random.PRNGKey(
+                    int.from_bytes(os.urandom(4), "little")
+                )
         state = self.state
         if use_ema and state.ema_params is not None:
             from diff_sal_tpu.train.ema import swap_in_ema

@@ -276,3 +276,82 @@ def test_loader_pad_last_valid_mask():
     np.testing.assert_array_equal(batches[2]["valid"], [1.0, 0.0])
     # the padded row is a copy of the last real one
     np.testing.assert_array_equal(batches[2]["rgb"][0], batches[2]["rgb"][1])
+
+
+def test_av_dataset_audio_type_spec_and_ori(av_root):
+    """audio_type='spec'/'ori' end-to-end through the dataset (reference
+    selects them per config, saliency_db.py:343-368, dataset.json:81):
+    channel-last equivalents of the reference shapes (1,257,219) and
+    (1,1,35280)."""
+    common = dict(
+        fold_list_path=str(av_root / "fold.txt"),
+        salmap_root=str(av_root / "ann"),
+        audio_root=str(av_root / "audio"),
+        name="avad",
+        img_size=(32, 48),
+    )
+    spec_ds = AVSaliencyDataset(
+        str(av_root / "video"), audio_type="spec", **common
+    )
+    a = spec_ds[0]["audio"]
+    assert a.shape == (257, 219, 1)
+    # standardized log-spectrogram: ~zero mean, ~unit std
+    assert abs(float(a.mean())) < 0.05 and 0.5 < float(a.std()) < 2.0
+
+    ori_ds = AVSaliencyDataset(
+        str(av_root / "video"), audio_type="ori", **common
+    )
+    a = ori_ds[0]["audio"]
+    assert a.shape == (1, 35280, 1)
+    assert np.abs(a).max() <= 1.0 and np.abs(a).sum() > 0
+
+
+def test_build_av_datasets_audio_type_knob(av_root):
+    """The dataset.json 'audio_type' key reaches every per-dataset fold."""
+    from diff_sal_tpu.data.av_dataset import AV_DATASET_NAMES, build_av_datasets
+
+    config = {
+        "sample_size": [48, 32],
+        "audio_size": [48, 32],
+        "sample_duration": 16,
+        "with_audio": True,
+        "audio_type": "spec",
+        "split1": {},
+    }
+    for name in AV_DATASET_NAMES:
+        config[f"video_path_{name}"] = str(av_root / "video")
+        config[f"salmap_path_{name}"] = str(av_root / "ann")
+        config[f"audio_path_{name}"] = str(av_root / "audio")
+        config["split1"][f"annotation_path_{name}_train"] = str(av_root / "fold.txt")
+        config["split1"][f"annotation_path_{name}_test"] = str(av_root / "fold.txt")
+    ds = build_av_datasets(config, "split1", train=True)
+    assert all(d.audio_type == "spec" for d in ds.datasets)
+    assert ds[0]["audio"].shape == (257, 219, 1)
+
+
+def test_holly_val_mode_reads_testing_tree_with_gt(tmp_path):
+    """Holly/UCF 'val' mode = the reference's get_val_loader dataset
+    (mode='val', holly2wood_dataset.py:35-45): windows over the `testing`
+    tree WITH GT maps — what the generalized `test` CLI scores."""
+    from diff_sal_tpu.data.video_datasets import HollywoodDataset
+
+    rng = np.random.RandomState(0)
+    vid = "actioncliptest00001"
+    base = tmp_path / "testing" / vid
+    (base / "images").mkdir(parents=True)
+    (base / "maps").mkdir(parents=True)
+    for i in range(20):
+        name = "frame_%04d.png" % i
+        Image.fromarray(
+            rng.randint(0, 255, (24, 32, 3), dtype=np.uint8)
+        ).save(base / "images" / name)
+        Image.fromarray(
+            rng.randint(1, 255, (24, 32), dtype=np.uint8)
+        ).save(base / "maps" / name)
+
+    ds = HollywoodDataset(str(tmp_path), 16, "val", img_size=(24, 32))
+    assert len(ds) > 0
+    item = ds[0]
+    assert item["rgb"].shape == (16, 24, 32, 3)
+    assert item["salmap"].shape == (24, 32, 1)  # GT present in val mode
+    assert item["video_id"] == vid

@@ -76,3 +76,34 @@ def test_dp_train_step_matches_single_device():
     # sub-1e-3 drift on a 1e-4-lr step is the expected numerical envelope
     worst = max(np.max(np.abs(np.asarray(a) - np.asarray(b))) for a, b in zip(l1, l2))
     assert worst < 1e-3, worst
+
+
+def test_tensor_parallel_forward_matches_replicated():
+    """The 'model' mesh axis in use: AudioAttnNet parameters sharded on
+    their output-feature axis over a (2, 4) mesh via
+    tensor_parallel_param_shardings; GSPMD partitions the matmuls and the
+    result matches the unsharded forward."""
+    from diff_sal_tpu.config import AudioAttnConfig
+    from diff_sal_tpu.models.audio_attention import AudioAttnNet
+    from diff_sal_tpu.parallel.mesh import tensor_parallel_param_shardings
+
+    mesh = make_mesh(num_data=2, num_model=4)
+    model = AudioAttnNet(AudioAttnConfig())
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 9, 7, 12, 512)) * 0.3
+    variables = model.init(rng, x)
+
+    shardings = tensor_parallel_param_shardings(variables, mesh)
+    sharded_leaves = [
+        s for s in jax.tree.leaves(shardings)
+        if s.spec != P()
+    ]
+    assert sharded_leaves, "no parameter qualified for TP sharding"
+
+    ref = model.apply(variables, x)
+    tp_vars = jax.device_put(variables, shardings)
+    xd = jax.device_put(x, NamedSharding(mesh, P("data")))
+    out = jax.jit(
+        model.apply, out_shardings=NamedSharding(mesh, P())
+    )(tp_vars, xd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
