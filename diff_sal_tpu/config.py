@@ -153,6 +153,12 @@ class MViTConfig:
     # fused Pallas attention (ops/attention.py): streams q tiles against
     # VMEM-resident k/v with on-the-fly rel-pos bias; TPU only
     use_pallas_attention: bool = False
+    # round-3 packed layout: cls token on a separate (B,1,C) stream, spatial
+    # tokens stay (B,T,H,W,C) end-to-end, head_dim zero-padded to the
+    # 128-lane tile inside the attention weights (masked pool-norms keep it
+    # checkpoint-exact). Kills the cls slice/concat relayouts + tile pads
+    # that were ~38% of the round-2 inference iteration (docs/PERF.md).
+    cls_stream: bool = False
     # stem lowering: conv | patches | s2d | s2d_staged (see PatchEmbed3D)
     stem_mode: str = "s2d_staged"
     # rematerialize each block in the backward pass (trade FLOPs for HBM) —

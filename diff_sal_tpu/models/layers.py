@@ -153,15 +153,22 @@ class FusedLayerNorm(nn.Module):
     """nn.LayerNorm-compatible module (same 'scale'/'bias' param tree) whose
     forward runs the single-pass Pallas kernel on TPU (ops/layernorm.py) and
     identical plain-jnp math elsewhere. XLA's LayerNorm chain is 2-3 HBM
-    passes with f32 converts; the kernel is one."""
+    passes with f32 converts; the kernel is one.
+
+    real_dim: masked LayerNorm over a zero-padded last axis (e.g. head_dim
+    96 padded to the 128-lane tile) — params stay at the real (checkpoint)
+    size and the pad lanes stay zero."""
 
     epsilon: float = 1e-6
+    real_dim: Optional[int] = None
 
     @nn.compact
     def __call__(self, x):
         from diff_sal_tpu.ops.layernorm import fused_layernorm
 
-        C = x.shape[-1]
+        C = self.real_dim or x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
-        return fused_layernorm(x, scale, bias, self.epsilon)
+        # positional: custom_vjp functions reject keyword arguments
+        return fused_layernorm(x, scale, bias, self.epsilon, None,
+                               self.real_dim)

@@ -174,7 +174,8 @@ class _PatchProjection(nn.Module):
 
 class PatchEmbed3D(nn.Module):
     """Conv3d video-to-token embed (reference mvit.py:124-247), k=(3,7,7),
-    s=(2,4,4), pad=(1,3,3). Input (B, T, H, W, 3) -> (B, T'·H'·W', C)."""
+    s=(2,4,4), pad=(1,3,3). Input (B, T, H, W, 3) -> (B, T'·H'·W', C)
+    (or the unflattened (B, T', H', W', C) for the cls-stream layout)."""
 
     embed_dims: int = 96
     dtype: Optional[jnp.dtype] = None
@@ -184,6 +185,7 @@ class PatchEmbed3D(nn.Module):
     # within-process A/B on v5e: patches > conv by ~10% e2e; s2d avoids the
     # patches tensor entirely (see _PatchProjection)
     mode: str = "s2d"
+    flatten: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -197,6 +199,8 @@ class PatchEmbed3D(nn.Module):
             name="projection",
         )(x)
         out_size = x.shape[1:4]
+        if not self.flatten:
+            return x, out_size
         return x.reshape(x.shape[0], -1, self.embed_dims), out_size
 
 
@@ -261,20 +265,47 @@ class PoolParams(nn.Module):
     the exact AttentionPool param tree (pool/kernel, norm/scale, norm/bias) —
     the conv itself runs FUSED across q/k/v in MultiScaleAttention (one
     grouped conv instead of three separate launches; depthwise channels are
-    independent so the math is unchanged)."""
+    independent so the math is unchanged).
+
+    padded=True: the norm runs masked over a head_dim zero-padded to the
+    128-lane tile (cls-stream layout); params stay at head_dim size."""
 
     head_dim: int
     kernel_size: Tuple[int, int, int]
+    padded: bool = False
 
     def setup(self):
         self.pool = _DWKernel(self.kernel_size, self.head_dim)
-        self.norm = FusedLayerNorm(epsilon=1e-6)
+        self.norm = FusedLayerNorm(
+            epsilon=1e-6, real_dim=self.head_dim if self.padded else None
+        )
 
     def __call__(self):
         return self.pool()
 
     def apply_norm(self, x):
         return self.norm(x)
+
+
+class _DenseParams(nn.Module):
+    """Kernel/bias params with nn.Dense's exact tree and inits — for paths
+    that fold padding or reshapes into the weight before the matmul."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", vit_init, (self.in_features, self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
 
 
 def _fused_depthwise_pool(
@@ -339,7 +370,15 @@ class MaxPoolSkip(nn.Module):
 
 class MultiScaleAttention(nn.Module):
     """Pooled multi-head attention with decomposed rel-pos
-    (reference mvit.py:497-650)."""
+    (reference mvit.py:497-650).
+
+    cls_stream=True switches to the round-3 packed layout: the caller passes
+    the SPATIAL tokens as (B, T, H, W, C) plus a separate (B, 1, C) cls
+    stream, head_dim is zero-padded to the 128-lane tile inside the qkv
+    weights, pooling runs on the un-flattened spatial tensor, and attention
+    uses the cls-free v2 kernel (ops/attention.py) — eliminating the cls
+    slice/concat relayouts and tile-pad copies of the 43k-token activations
+    that dominated the round-2 xplane profile (docs/PERF.md)."""
 
     out_dims: int
     num_heads: int
@@ -353,17 +392,27 @@ class MultiScaleAttention(nn.Module):
     rel_pos_dims: Tuple[int, int] = (15, 111)  # (t_table_len, hw_table_len)
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    cls_stream: bool = False
+
+    HD_PAD = 128  # padded head dim: one full lane tile
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, in_size: Tuple[int, int, int]):
+    def __call__(self, x: jnp.ndarray, in_size: Tuple[int, int, int],
+                 cls: Optional[jnp.ndarray] = None):
+        if self.cls_stream:
+            return self._v2(x, cls, in_size)
         B, N, _ = x.shape
         head_dim = self.out_dims // self.num_heads
 
         C = self.out_dims
-        qkv = nn.Dense(
-            C * 3, use_bias=self.qkv_bias, kernel_init=vit_init,
-            dtype=self.dtype, name="qkv",
-        )(x)  # (B, N, 3C) with channels ordered (part, head, hd)
+        qkv_kernel, qkv_b = _DenseParams(
+            x.shape[-1], C * 3, use_bias=self.qkv_bias, name="qkv"
+        )()
+        dt0 = self.dtype or x.dtype
+        qkv = x.astype(dt0) @ qkv_kernel.astype(dt0)
+        if qkv_b is not None:
+            qkv = qkv + qkv_b.astype(dt0)
+        # (B, N, 3C) with channels ordered (part, head, hd)
 
         # q/k/v pooling runs channel-folded straight off the Dense output:
         # depthwise channels are independent and the reference shares the
@@ -475,10 +524,166 @@ class MultiScaleAttention(nn.Module):
                     out = out + q
 
         out = jnp.swapaxes(out, 1, 2).reshape(B, -1, self.out_dims)
-        out = nn.Dense(
-            self.out_dims, kernel_init=vit_init, dtype=self.dtype, name="proj"
-        )(out)
+        pk, pb = _DenseParams(self.out_dims, self.out_dims, name="proj")()
+        out = out.astype(dt) @ pk.astype(dt) + pb.astype(dt)
         return out, q_shape
+
+    # ------------------------------------------------------------------
+    # cls-stream (v2) path
+    # ------------------------------------------------------------------
+    def _v2(self, sp: jnp.ndarray, cls: jnp.ndarray,
+            in_size: Tuple[int, int, int]):
+        """sp (B, T, H, W, C_in) normed spatial tokens, cls (B, 1, C_in).
+
+        Returns (out_spatial (B,T',H',W',C), out_cls (B,1,C), q_shape)."""
+        assert self.with_cls_token and cls is not None
+        B = sp.shape[0]
+        C = self.out_dims
+        H = self.num_heads
+        hd = C // H
+        D = self.HD_PAD
+        HD = H * D
+        dt = self.dtype or sp.dtype
+        T, Hh, Ww = in_size
+
+        # qkv with head padding folded into the weights: channels ordered
+        # (part, head, D) with lanes [hd:D) zero
+        qkv_kernel, qkv_b = _DenseParams(
+            sp.shape[-1], C * 3, use_bias=self.qkv_bias, name="qkv"
+        )()
+        kp = jnp.pad(
+            qkv_kernel.reshape(-1, 3, H, hd), ((0, 0),) * 3 + ((0, D - hd),)
+        ).reshape(-1, 3 * HD).astype(dt)
+        qkv_sp = sp.astype(dt) @ kp
+        qkv_cls = cls.astype(dt) @ kp
+        if qkv_b is not None:
+            bp = jnp.pad(
+                qkv_b.reshape(3, H, hd), ((0, 0), (0, 0), (0, D - hd))
+            ).reshape(-1).astype(dt)
+            qkv_sp = qkv_sp + bp
+            qkv_cls = qkv_cls + bp
+
+        pq = PoolParams(hd, self.pool_kernel, padded=True, name="pool_q")
+        pk_ = PoolParams(hd, self.pool_kernel, padded=True, name="pool_k")
+        pv = PoolParams(hd, self.pool_kernel, padded=True, name="pool_v")
+
+        def pad_pool(kern):  # (kt,kh,kw,1,hd) -> (kt,kh,kw,1,D)
+            return jnp.pad(kern, ((0, 0),) * 3 + ((0, 0), (0, D - hd)))
+
+        if tuple(self.stride_q) == tuple(self.stride_kv):
+            pooled, q_shape = _fused_depthwise_pool(
+                qkv_sp, [pad_pool(pq()), pad_pool(pk_()), pad_pool(pv())],
+                H, self.stride_q, dt,
+            )
+            k_shape = q_shape
+            q_sp, k_sp, v_sp = jnp.split(pooled, 3, axis=-1)
+        else:
+            q_sp, q_shape = _fused_depthwise_pool(
+                qkv_sp[..., :HD], [pad_pool(pq())], H, self.stride_q, dt
+            )
+            kv_sp, k_shape = _fused_depthwise_pool(
+                qkv_sp[..., HD:], [pad_pool(pk_()), pad_pool(pv())], H,
+                self.stride_kv, dt,
+            )
+            k_sp, v_sp = jnp.split(kv_sp, 2, axis=-1)
+
+        Lq = int(np.prod(q_shape))
+        Lk_sp = int(np.prod(k_shape))
+
+        def norm_packed(t, pp):
+            # (..., HD) -> masked per-head LN -> (..., HD); reshapes are
+            # trailing-dim splits (free)
+            shp = t.shape
+            t = pp.apply_norm(t.reshape(shp[:-1] + (H, D)))
+            return t.reshape(shp)
+
+        q2 = norm_packed(q_sp.reshape(B, Lq, HD), pq)
+        k2 = norm_packed(k_sp.reshape(B, Lk_sp, HD), pk_)
+        v2 = norm_packed(v_sp.reshape(B, Lk_sp, HD), pv)
+        cq, ck, cv = jnp.split(qkv_cls, 3, axis=-1)  # (B, 1, HD)
+        cq = norm_packed(cq, pq)
+        ck = norm_packed(ck, pk_)
+        cv = norm_packed(cv, pv)
+        k2 = jnp.concatenate([ck, k2], axis=1)  # cls key/value at row 0
+        v2 = jnp.concatenate([cv, v2], axis=1)
+
+        scale = hd**-0.5
+        qt, qh, qw = q_shape
+        kt, kh, kw = k_shape
+        K = kt + kh + kw
+        Kp = ((K + 127) // 128) * 128
+
+        rel = None
+        if self.rel_pos_embed:
+            from diff_sal_tpu.ops.rel_pos import resize_rel_pos
+
+            rel_pos_t = self.param(
+                "rel_pos_t", nn.initializers.zeros,
+                (self.rel_pos_dims[0], hd),
+            )
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.zeros,
+                (self.rel_pos_dims[1], hd),
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.zeros,
+                (self.rel_pos_dims[1], hd),
+            )
+
+            def table(p, qn, kn):  # (qn, kn, hd) zero-padded to D channels
+                return jnp.pad(
+                    resize_rel_pos(p, qn, kn), ((0, 0), (0, 0), (0, D - hd))
+                ).astype(dt)
+
+            r_q = q2.reshape(B, qt, qh, qw, H, D)
+            rel_t = jnp.einsum(
+                "bthwnc,tkc->bthwnk", r_q, table(rel_pos_t, qt, kt)
+            )
+            rel_h = jnp.einsum(
+                "bthwnc,hkc->bthwnk", r_q, table(rel_pos_h, qh, kh)
+            )
+            rel_w = jnp.einsum(
+                "bthwnc,wkc->bthwnk", r_q, table(rel_pos_w, qw, kw)
+            )
+            zpad = jnp.zeros(rel_t.shape[:-1] + (Kp - K,), rel_t.dtype)
+            rel = jnp.concatenate([rel_t, rel_h, rel_w, zpad], axis=-1)
+            rel = rel.reshape(B, Lq, H * Kp)
+        else:
+            rel = jnp.zeros((B, Lq, H * Kp), dt)
+
+        from diff_sal_tpu.ops.attention import (
+            fused_bias_attention_v2,
+            reference_bias_attention_v2,
+        )
+
+        attn_fn = (
+            fused_bias_attention_v2 if self.use_pallas
+            else reference_bias_attention_v2
+        )
+        out2 = attn_fn(
+            q2, k2, v2, rel, (kt, kh, kw), H, scale, None,
+            self.residual_pooling,
+        )  # (B, Lq, HD)
+
+        # cls query row: full attention over [cls | pooled kv], zero bias,
+        # no residual (reference excludes the cls row, mvit.py:640-644)
+        ck4 = k2.reshape(B, 1 + Lk_sp, H, D)
+        cv4 = v2.reshape(B, 1 + Lk_sp, H, D)
+        cs = jnp.einsum(
+            "bqhd,bkhd->bhqk", cq.reshape(B, 1, H, D) * scale, ck4,
+            preferred_element_type=jnp.float32,
+        )
+        cp = jax.nn.softmax(cs, axis=-1).astype(dt)
+        out_cls = jnp.einsum("bhqk,bkhd->bqhd", cp, cv4).reshape(B, 1, HD)
+
+        # proj with the hd->D padding folded into the weight rows
+        proj_kernel, proj_b = _DenseParams(C, C, name="proj")()
+        pkr = jnp.pad(
+            proj_kernel.reshape(H, hd, C), ((0, 0), (0, D - hd), (0, 0))
+        ).reshape(HD, C).astype(dt)
+        out_sp = out2.astype(dt) @ pkr + proj_b.astype(dt)
+        out_cls = out_cls.astype(dt) @ pkr + proj_b.astype(dt)
+        return out_sp.reshape((B,) + q_shape + (C,)), out_cls, q_shape
 
 
 class MultiScaleBlock(nn.Module):
@@ -500,11 +705,18 @@ class MultiScaleBlock(nn.Module):
     rel_pos_dims: Tuple[int, int] = (15, 111)
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
+    cls_stream: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, in_size: Tuple[int, int, int]):
-        x_norm = FusedLayerNorm(epsilon=1e-6, name="norm1")(x)
-        x_attn, out_size = MultiScaleAttention(
+    def __call__(self, x, in_size: Tuple[int, int, int]):
+        # cls_stream: x is (spatial (B,T,H,W,C), cls (B,1,C)); modules are
+        # shared between the two tensors so the param tree is unchanged
+        if self.cls_stream:
+            sp, cls = x
+        else:
+            sp, cls = x, None
+        norm1 = FusedLayerNorm(epsilon=1e-6, name="norm1")
+        attn = MultiScaleAttention(
             out_dims=self.out_dims,
             num_heads=self.num_heads,
             stride_q=self.stride_q,
@@ -517,32 +729,56 @@ class MultiScaleBlock(nn.Module):
             rel_pos_dims=self.rel_pos_dims,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            cls_stream=self.cls_stream,
             name="attn",
-        )(x_norm, in_size)
-
-        if self.in_dims != self.out_dims:
-            skip = nn.Dense(
-                self.out_dims, kernel_init=vit_init, dtype=self.dtype,
-                name="proj",
-            )(x_norm)
-        else:
-            skip = x
-        if int(np.prod(self.stride_q)) > 1:
-            skip = MaxPoolSkip(
-                self.stride_q, self.with_cls_token, name="pool_skip"
-            )(skip, in_size)
-
-        x = skip + x_attn
-        x_norm2 = FusedLayerNorm(epsilon=1e-6, name="norm2")(x)
-        x_mlp = Mlp(
+        )
+        norm2 = FusedLayerNorm(epsilon=1e-6, name="norm2")
+        mlp = Mlp(
             hidden_features=int(self.out_dims * self.mlp_ratio),
             out_features=self.out_dims,
             act=gelu_exact,
             kernel_init=vit_init,
             dtype=self.dtype,
             name="mlp",
-        )(x_norm2)
-        return x + x_mlp, out_size
+        )
+        proj = (
+            nn.Dense(
+                self.out_dims, kernel_init=vit_init, dtype=self.dtype,
+                name="proj",
+            )
+            if self.in_dims != self.out_dims
+            else None
+        )
+        strided = int(np.prod(self.stride_q)) > 1
+
+        if not self.cls_stream:
+            x_norm = norm1(sp)
+            x_attn, out_size = attn(x_norm, in_size)
+            skip = proj(x_norm) if proj is not None else sp
+            if strided:
+                skip = MaxPoolSkip(
+                    self.stride_q, self.with_cls_token, name="pool_skip"
+                )(skip, in_size)
+            y = skip + x_attn
+            return y + mlp(norm2(y)), out_size
+
+        sp_n, cls_n = norm1(sp), norm1(cls)
+        attn_sp, attn_cls, out_size = attn(sp_n, in_size, cls_n)
+        skip_sp = proj(sp_n) if proj is not None else sp
+        skip_cls = proj(cls_n) if proj is not None else cls
+        if strided:
+            kernel = tuple(s + 1 if s > 1 else s for s in self.stride_q)
+            skip_sp = nn.max_pool(
+                skip_sp,
+                window_shape=kernel,
+                strides=self.stride_q,
+                padding=[(k // 2, k // 2) for k in kernel],
+            )
+        sp = skip_sp + attn_sp
+        cls = skip_cls + attn_cls
+        sp = sp + mlp(norm2(sp))
+        cls = cls + mlp(norm2(cls))
+        return (sp, cls), out_size
 
 
 def _block_plan(cfg: MViTConfig):
@@ -605,29 +841,28 @@ class MViT(nn.Module):
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
         cfg = self.cfg
         B = x.shape[0]
+        cls_stream = cfg.cls_stream and cfg.with_cls_token
         tokens, size = PatchEmbed3D(
             cfg.embed_dims, dtype=self.dtype, mode=cfg.stem_mode,
-            name="patch_embed",
+            flatten=not cls_stream, name="patch_embed",
         )(x)
 
         cls_token = self.param(
             "cls_token", nn.initializers.zeros, (1, 1, cfg.embed_dims)
         )
-        if cfg.with_cls_token:
-            # cast the f32 param to the token dtype BEFORE the concat — else
-            # the whole 43k-token residual stream silently promotes to f32
-            # (2x HBM traffic on every block residual/norm; xplane showed
-            # f32 add/convert fusions at (B, 43009, C))
-            tokens = jnp.concatenate(
-                [
-                    jnp.broadcast_to(
-                        cls_token.astype(tokens.dtype),
-                        (B, 1, cfg.embed_dims),
-                    ),
-                    tokens,
-                ],
-                axis=1,
-            )
+        # cast the f32 param to the token dtype BEFORE use — else the whole
+        # 43k-token residual stream silently promotes to f32 (2x HBM traffic
+        # on every block residual/norm)
+        cls_b = jnp.broadcast_to(
+            cls_token.astype(tokens.dtype), (B, 1, cfg.embed_dims)
+        )
+        if cls_stream:
+            # cls rides a separate (B, 1, C) stream — the 43k-token spatial
+            # tensor stays (B, T, H, W, C) end to end, with no cls
+            # slice/concat relayouts (round-3 layout redesign, docs/PERF.md)
+            tokens = (tokens, cls_b)
+        elif cfg.with_cls_token:
+            tokens = jnp.concatenate([cls_b, tokens], axis=1)
 
         block_cls = MultiScaleBlock
         if cfg.remat:
@@ -651,12 +886,19 @@ class MViT(nn.Module):
                 rel_pos_dims=plan["rel_pos_dims"],
                 dtype=self.dtype,
                 use_pallas=cfg.use_pallas_attention,
+                cls_stream=cls_stream,
                 name=f"blocks_{i}",
             )(tokens, size)
             stage = plan["emit_scale"]
             if stage is not None and stage in cfg.out_scales:
-                normed = FusedLayerNorm(epsilon=1e-6, name=f"norm{stage}")(tokens)
-                patch = normed[:, 1:] if cfg.with_cls_token else normed
+                norm = FusedLayerNorm(epsilon=1e-6, name=f"norm{stage}")
                 T, H, W = size
-                outs.append(patch.reshape(B, T, H, W, -1))
+                if cls_stream:
+                    # LN is per-token: norming the spatial tensor alone
+                    # equals norming [cls | spatial] and dropping cls
+                    outs.append(norm(tokens[0]))
+                else:
+                    normed = norm(tokens)
+                    patch = normed[:, 1:] if cfg.with_cls_token else normed
+                    outs.append(patch.reshape(B, T, H, W, -1))
         return outs[::-1]

@@ -349,3 +349,312 @@ def _fba_bwd(k_shape, scale, q_tile, interpret, residual, res, g):
 
 
 fused_bias_attention.defvjp(_fba_fwd, _fba_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v2: cls-free packed layout (round 3).
+#
+# The v1 kernel takes (B*H, Lq, D) with the cls token at row 0 — which forces
+# the caller to slice cls off the (B, N, 3C) qkv tensor (a full relayout of
+# the 43k-token activations), pad Lq to the tile grid, and ship three
+# separately lane-padded rel tensors. The xplane breakdown attributes ~38% of
+# the round-2 iteration to exactly those pads/slices/copies (docs/PERF.md).
+#
+# v2 reshapes nothing: operands arrive packed as (B, Lq, H*D) with
+# D = head_dim padded to the 128-lane tile (zero channels), the spatial Lq
+# contains NO cls row (the cls query row is a tiny einsum outside), and the
+# decomposed rel-pos inputs are concatenated per head into (B, Lq, H*Kp),
+# biased in-kernel through one stacked one-hot matmul. Per-head blocks are
+# cut by lane OFFSET (h*D, h*Kp — tile-aligned because D=128 and Kp is a
+# 128-multiple), so the grid is (B, H, q_tiles) with no (B,H,L,D) transpose
+# on either side of the kernel. k/v carry cls at row 0 and zero rel bias in
+# column 0 through the same stacked matrices.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _expansion_cat(k_shape: Tuple[int, int, int], lk: int, lk_pad: int,
+                   k_cat_pad: int):
+    """Stacked one-hot matrix E (k_cat_pad, lk_pad): rows [0:kt) map the t
+    coordinate, [kt:kt+kh) the h coordinate, [kt+kh:kt+kh+kw) the w
+    coordinate of each key column; remaining rows zero. Plus the additive
+    column mask (0 real / NEG_INF padding; column 0 = cls gets zero bias
+    via all-zero one-hot columns)."""
+    kt, kh, kw = k_shape
+    E = np.zeros((k_cat_pad, lk_pad), np.float32)
+    for j in range(1, lk):
+        t, rem = divmod(j - 1, kh * kw)
+        h, w = divmod(rem, kw)
+        E[t, j] = 1.0
+        E[kt + h, j] = 1.0
+        E[kt + kh + w, j] = 1.0
+    mask = np.full((1, lk_pad), NEG_INF, np.float32)
+    mask[0, :lk] = 0.0
+    return E, mask
+
+
+def _pick_q_tile(lq: int, lk_pad: int, budget_bytes: int = 10 * 1024 * 1024):
+    """Largest q tile with ~3 f32 (tile, lk_pad) temporaries under budget,
+    preferring 128-multiples that DIVIDE lq (no pad, no ragged tail)."""
+    cap = max(budget_bytes // (3 * lk_pad * 4), 128)
+    best = 0
+    for t in range(128, min(cap, lq) + 1, 128):
+        if lq % t == 0:
+            best = t
+    if best:
+        return best, lq
+    t = min(cap // 128 * 128, _round_up(lq, 128))
+    t = max(t, 128)
+    return t, _round_up(lq, t)
+
+
+def reference_bias_attention_v2(
+    q: jnp.ndarray,  # (B, Lq, H*D)
+    k: jnp.ndarray,  # (B, Lk, H*D), cls at row 0
+    v: jnp.ndarray,
+    rel: jnp.ndarray,  # (B, Lq, H*Kp)
+    k_shape: Tuple[int, int, int],
+    num_heads: int,
+    scale: float = 1.0,
+    interpret=None,  # unused; signature-compatible with the kernel
+    residual: bool = False,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """XLA-einsum formulation of the v2 packed-layout attention — the
+    non-Pallas fallback (CPU tests, ablation) and the semantic reference
+    the kernel is pinned against."""
+    B, Lq, HD = q.shape
+    H = num_heads
+    D = HD // H
+    Lk = k.shape[1]
+    kt, kh, kw = k_shape
+    K = kt + kh + kw
+    Kp = rel.shape[-1] // H
+
+    q4 = q.reshape(B, Lq, H, D)
+    k4 = k.reshape(B, Lk, H, D)
+    v4 = v.reshape(B, Lk, H, D)
+    scores = jnp.einsum(
+        "blhd,bkhd->bhlk", q4 * jnp.asarray(scale, q.dtype), k4,
+        preferred_element_type=jnp.float32,
+    )
+    r4 = rel.reshape(B, Lq, H, Kp)
+    rel_t = r4[..., :kt]
+    rel_h = r4[..., kt : kt + kh]
+    rel_w = r4[..., kt + kh : K]
+    bias = (
+        rel_t[..., :, None, None]
+        + rel_h[..., None, :, None]
+        + rel_w[..., None, None, :]
+    ).reshape(B, Lq, H, kt * kh * kw)
+    bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0), (1, 0)))  # zero cls col
+    probs = jax.nn.softmax(
+        scores + jnp.moveaxis(bias, 2, 1).astype(jnp.float32), axis=-1
+    )
+    out = jnp.einsum(
+        "bhlk,bkhd->blhd", probs.astype(q.dtype), v4,
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype or q.dtype)
+    out = out.reshape(B, Lq, HD)
+    if residual:
+        out = out + q
+    return out
+
+
+def _attn_v2_kernel(q_ref, k_ref, v_ref, rel_ref, e_ref, mask_ref, o_ref, *,
+                    scale: float, residual: bool):
+    q = q_ref[0]  # (Tq, D) input dtype
+    k = k_ref[0]  # (Lk_pad, D)
+    scores = jax.lax.dot_general(
+        q * jnp.asarray(scale, q.dtype), k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    bias = jnp.dot(rel_ref[0].astype(jnp.float32), e_ref[...],
+                   preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores + bias + mask_ref[...], axis=-1)
+    out = jnp.dot(probs.astype(q.dtype), v_ref[0],
+                  preferred_element_type=jnp.float32)
+    if residual:
+        # residual pooling over every row — q carries no cls row in v2
+        out = out + q.astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def fused_bias_attention_v2(
+    q: jnp.ndarray,  # (B, Lq, H*D) — spatial tokens only, D = 128-padded hd
+    k: jnp.ndarray,  # (B, Lk, H*D) — cls at row 0
+    v: jnp.ndarray,  # (B, Lk, H*D)
+    rel: jnp.ndarray,  # (B, Lq, H*Kp), per head [rel_t | rel_h | rel_w | 0]
+    k_shape: Tuple[int, int, int],
+    num_heads: int,
+    scale: float = 1.0,
+    interpret: bool = None,
+    residual: bool = False,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """softmax(q k^T * scale + decomposed-bias) v on packed per-head lanes.
+
+    Returns (B, Lq, H*D) in q's dtype (or out_dtype). Kp per head is
+    round_up(kt+kh+kw, 128); rel's zero tail rows meet zero E rows."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, Lq, HD = q.shape
+    H = num_heads
+    D = HD // H
+    assert H * D == HD and D % 128 == 0, (HD, H)
+    Lk = k.shape[1]
+    kt, kh, kw = k_shape
+    assert Lk == 1 + kt * kh * kw
+    K = kt + kh + kw
+    Kp = rel.shape[-1] // H
+    assert Kp % 128 == 0 and Kp >= K, (Kp, K)
+
+    lk_pad = _round_up(Lk, 128)
+    q_tile, lq_pad = _pick_q_tile(Lq, lk_pad)
+    E, maskrow = _expansion_cat((kt, kh, kw), Lk, lk_pad, Kp)
+
+    if lq_pad != Lq:
+        q = jnp.pad(q, ((0, 0), (0, lq_pad - Lq), (0, 0)))
+        rel = jnp.pad(rel, ((0, 0), (0, lq_pad - Lq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, lk_pad - Lk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, lk_pad - Lk), (0, 0)))
+
+    grid = (B, H, lq_pad // q_tile)
+    qspec = pl.BlockSpec((1, q_tile, D), lambda b, h, i: (b, i, h))
+    kvspec = pl.BlockSpec((1, lk_pad, D), lambda b, h, i: (b, 0, h))
+    rspec = pl.BlockSpec((1, q_tile, Kp), lambda b, h, i: (b, i, h))
+    cspec = lambda r, c: pl.BlockSpec((r, c), lambda b, h, i: (0, 0))  # noqa: E731
+
+    out = pl.pallas_call(
+        functools.partial(_attn_v2_kernel, scale=scale, residual=residual),
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec, rspec,
+                  cspec(Kp, lk_pad), cspec(1, lk_pad)],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((B, lq_pad, HD),
+                                       out_dtype or q.dtype),
+        interpret=interpret,
+    )(q, kp, vp, rel, jnp.asarray(E), jnp.asarray(maskrow))
+    return out[:, :Lq] if lq_pad != Lq else out
+
+
+def _attn_v2_bwd_kernel(q_ref, k_ref, v_ref, rel_ref, e_ref, mask_ref, g_ref,
+                        dq_ref, dk_ref, dv_ref, drel_ref, *, scale: float,
+                        residual: bool):
+    i = pl.program_id(2)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+
+    scores = jax.lax.dot_general(
+        q * jnp.asarray(scale, q.dtype), k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    bias = jnp.dot(rel_ref[0].astype(jnp.float32), e_ref[...],
+                   preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(scores + bias + mask_ref[...], axis=-1)
+    p_lo = p.astype(q.dtype)
+
+    dv_tile = jax.lax.dot_general(
+        p_lo, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds_lo = ds.astype(q.dtype)
+
+    dq = jnp.dot(ds_lo, k, preferred_element_type=jnp.float32) * scale
+    if residual:
+        dq = dq + g.astype(jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    drel_ref[0] = jax.lax.dot_general(
+        ds, e_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(drel_ref.dtype)
+
+    dk_tile = jax.lax.dot_general(
+        ds_lo, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += dk_tile.astype(dk_ref.dtype)
+    dv_ref[0] += dv_tile.astype(dv_ref.dtype)
+
+
+def _fba2_fwd(q, k, v, rel, k_shape, num_heads, scale, interpret, residual,
+              out_dtype):
+    out = fused_bias_attention_v2(
+        q, k, v, rel, k_shape, num_heads, scale, interpret, residual,
+        out_dtype,
+    )
+    return out, (q, k, v, rel)
+
+
+def _fba2_bwd(k_shape, num_heads, scale, interpret, residual, out_dtype, res,
+              g):
+    q, k, v, rel = res
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, Lq, HD = q.shape
+    H = num_heads
+    D = HD // H
+    Lk = k.shape[1]
+    kt, kh, kw = k_shape
+    Kp = rel.shape[-1] // H
+
+    lk_pad = _round_up(Lk, 128)
+    # backward holds ~5 f32 (tile, lk_pad) temporaries
+    q_tile, lq_pad = _pick_q_tile(Lq, lk_pad, 8 * 1024 * 1024 * 3 // 5)
+    E, maskrow = _expansion_cat((kt, kh, kw), Lk, lk_pad, Kp)
+
+    if lq_pad != Lq:
+        pad_q = ((0, 0), (0, lq_pad - Lq), (0, 0))
+        q, g, rel = jnp.pad(q, pad_q), jnp.pad(g, pad_q), jnp.pad(rel, pad_q)
+    pad_k = ((0, 0), (0, lk_pad - Lk), (0, 0))
+    kp, vp = jnp.pad(k, pad_k), jnp.pad(v, pad_k)
+
+    grid = (B, H, lq_pad // q_tile)
+    qspec = pl.BlockSpec((1, q_tile, D), lambda b, h, i: (b, i, h))
+    kvspec = pl.BlockSpec((1, lk_pad, D), lambda b, h, i: (b, 0, h))
+    rspec = pl.BlockSpec((1, q_tile, Kp), lambda b, h, i: (b, i, h))
+    cspec = lambda r, c: pl.BlockSpec((r, c), lambda b, h, i: (0, 0))  # noqa: E731
+
+    f32 = jnp.float32
+    dq, dk, dv, drel = pl.pallas_call(
+        functools.partial(_attn_v2_bwd_kernel, scale=scale,
+                          residual=residual),
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec, rspec,
+                  cspec(Kp, lk_pad), cspec(1, lk_pad), qspec],
+        out_specs=[qspec, kvspec, kvspec, rspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, lq_pad, HD), f32),
+            jax.ShapeDtypeStruct((B, lk_pad, HD), f32),
+            jax.ShapeDtypeStruct((B, lk_pad, HD), f32),
+            jax.ShapeDtypeStruct((B, lq_pad, H * Kp), f32),
+        ],
+        interpret=interpret,
+    )(q, kp, vp, rel, jnp.asarray(E), jnp.asarray(maskrow), g)
+
+    return (
+        dq[:, :Lq].astype(q.dtype),
+        dk[:, :Lk].astype(k.dtype),
+        dv[:, :Lk].astype(v.dtype),
+        drel[:, :Lq].astype(rel.dtype),
+    )
+
+
+fused_bias_attention_v2.defvjp(_fba2_fwd, _fba2_bwd)

@@ -6,6 +6,20 @@ between. At the MViT finest scale that chain costs ~5 ms/iter (xplane,
 docs/PERF.md). This kernel reads each row tile once, computes the f32
 stats in VMEM and writes the normalized output directly.
 
+Round-3 revision: the first version jnp.pad-ed the input to (row_tile,
+128)-aligned shapes and sliced the result back — two extra full HBM passes
+per call on the 96-channel tensors (the xplane 'pad'/'slice' categories).
+Now the kernel reads the unpadded array directly (Mosaic masks partial
+lane tiles) and the row tile is chosen to DIVIDE the row count whenever
+possible, so the common shapes run with zero layout ops.
+
+`real_dim` supports masked LayerNorm over pre-padded channels: an input
+whose last dim is zero-padded beyond `real_dim` (e.g. head_dim 96 padded
+to the 128-lane tile) is normalized over the real channels only — the
+zero lanes contribute nothing to the sums and stay zero in the output
+(scale/bias are zero-padded to match). This keeps 128-aligned attention
+layouts checkpoint-exact.
+
 Backward goes through the plain-jnp reference formulation (LayerNorm's
 VJP is elementwise + small reductions — XLA handles it well; the win is
 the forward's HBM traffic).
@@ -39,28 +53,58 @@ def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, c_real: int,
     ).astype(o_ref.dtype)
 
 
-def _ln_reference(x, scale, bias, eps):
+def _ln_reference(x, scale, bias, eps, real_dim=None):
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    C = x.shape[-1]
+    c_real = real_dim or C
+    mean = jnp.sum(xf, axis=-1, keepdims=True) / c_real
+    var = jnp.maximum(
+        jnp.sum(xf * xf, axis=-1, keepdims=True) / c_real - mean * mean, 0.0
+    )
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if real_dim is not None and real_dim < C:
+        # keep the padded lanes exactly zero (mean subtraction would leak)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1).reshape(
+            (1,) * (x.ndim - 1) + (C,)
+        )
+        y = jnp.where(lane < real_dim, y, 0.0)
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
         x.dtype
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _row_tile(R: int, c_pad: int, sublane: int) -> int:
+    """Largest row tile that divides R, is a multiple of the sublane tile,
+    and keeps ~6 f32 temporaries within a 6 MB VMEM budget. 0 if none."""
+    budget = max((6 * 1024 * 1024) // (6 * c_pad * 4), sublane)
+    best = 0
+    for t in range(sublane, min(budget, R) + 1, sublane):
+        if R % t == 0:
+            best = t
+    return best
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_layernorm(
     x: jnp.ndarray,
-    scale: jnp.ndarray,  # (C,)
-    bias: jnp.ndarray,  # (C,)
+    scale: jnp.ndarray,  # (C,) or (real_dim,)
+    bias: jnp.ndarray,  # (C,) or (real_dim,)
     eps: float = 1e-6,
     interpret: bool = None,
+    real_dim: int = None,
 ) -> jnp.ndarray:
     """LayerNorm over the last axis of x, f32 statistics, output in x.dtype.
 
+    real_dim: normalize over only the first `real_dim` channels of a
+    zero-padded last axis (see module docstring). scale/bias may be given
+    at either the padded or the real length.
+
     interpret=None auto-selects: compiled on TPU, plain-jnp fallback
     elsewhere (interpret-mode pallas is slower than XLA on CPU)."""
+    C = x.shape[-1]
+    if scale.shape[0] < C:  # tiny pads — params stay at checkpoint size
+        scale = jnp.pad(scale, (0, C - scale.shape[0]))
+        bias = jnp.pad(bias, (0, C - bias.shape[0]))
     if interpret is None:
         import os
 
@@ -68,47 +112,65 @@ def fused_layernorm(
             jax.default_backend() != "tpu"
             or os.environ.get("DIFF_SAL_XLA_LN") == "1"
         ):
-            return _ln_reference(x, scale, bias, eps)
+            return _ln_reference(x, scale, bias, eps, real_dim)
         interpret = False
-    C = x.shape[-1]
+    c_real = real_dim or C
     lead = x.shape[:-1]
     R = 1
     for d in lead:
         R *= d
     x2 = x.reshape(R, C)
-    c_pad = _round_up(C, 128)
-    # the compiler keeps ~6 f32 tile-sized temporaries live (x, x*x, y,
-    # scaled out, converts); budget 6 MB of the 16 MB VMEM for them
-    budget_rows = (6 * 1024 * 1024) // (6 * c_pad * 4)
-    r_tile = max(min(budget_rows, _round_up(R, 8)) // 8 * 8, 8)
-    r_pad = _round_up(R, r_tile)
-    xp = jnp.pad(x2, ((0, r_pad - R), (0, c_pad - C)))
-    sp = jnp.pad(scale, (0, c_pad - C)).reshape(1, c_pad)
-    bp = jnp.pad(bias, (0, c_pad - C)).reshape(1, c_pad)
+    # sublane granularity of the dtype tile (f32 8, bf16 16)
+    sublane = 16 if x.dtype == jnp.bfloat16 else 8
+    r_tile = _row_tile(R, _round_up(C, 128), sublane)
+    if r_tile == 0:
+        # ragged row count: pad rows (lane dim stays untouched)
+        r_tile = max(
+            min((6 * 1024 * 1024) // (6 * _round_up(C, 128) * 4),
+                _round_up(R, sublane)) // sublane * sublane,
+            sublane,
+        )
+        r_pad = _round_up(R, r_tile)
+        x2 = jnp.pad(x2, ((0, r_pad - R), (0, 0)))
+    else:
+        r_pad = R
 
+    sp = scale.reshape(1, C)
+    bp = bias.reshape(1, C)
     out = pl.pallas_call(
-        functools.partial(_ln_kernel, c_real=C, eps=eps),
+        functools.partial(_ln_kernel, c_real=c_real, eps=eps),
         grid=(r_pad // r_tile,),
         in_specs=[
-            pl.BlockSpec((r_tile, c_pad), lambda i: (i, 0)),
-            pl.BlockSpec((1, c_pad), lambda i: (0, 0)),
-            pl.BlockSpec((1, c_pad), lambda i: (0, 0)),
+            pl.BlockSpec((r_tile, C), lambda i: (i, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((r_tile, c_pad), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((r_pad, c_pad), x.dtype),
+        out_specs=pl.BlockSpec((r_tile, C), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((r_pad, C), x.dtype),
         interpret=interpret,
-    )(xp, sp, bp)
-    return out[:R, :C].reshape(x.shape)
+    )(x2, sp, bp)
+    if r_pad != R:
+        out = out[:R]
+    return out.reshape(x.shape)
 
 
-def _ln_fwd(x, scale, bias, eps, interpret):
-    return fused_layernorm(x, scale, bias, eps, interpret), (x, scale, bias)
+def _ln_fwd(x, scale, bias, eps, interpret, real_dim):
+    return fused_layernorm(x, scale, bias, eps, interpret, real_dim), (
+        x, scale, bias,
+    )
 
 
-def _ln_bwd(eps, interpret, res, g):
+def _ln_bwd(eps, interpret, real_dim, res, g):
     x, scale, bias = res
-    _, vjp = jax.vjp(lambda x, s, b: _ln_reference(x, s, b, eps), x, scale,
-                     bias)
+    C = x.shape[-1]
+
+    def ref(x, s, b):
+        if s.shape[0] < C:
+            s = jnp.pad(s, (0, C - s.shape[0]))
+            b = jnp.pad(b, (0, C - b.shape[0]))
+        return _ln_reference(x, s, b, eps, real_dim)
+
+    _, vjp = jax.vjp(ref, x, scale, bias)
     return vjp(g)
 
 

@@ -95,3 +95,62 @@ def test_patch_embed_modes_equal():
     np.testing.assert_allclose(np.asarray(o_pat), np.asarray(o_conv), atol=2e-5)
     np.testing.assert_allclose(np.asarray(o_s2d), np.asarray(o_conv), atol=2e-5)
     np.testing.assert_allclose(np.asarray(o_stg), np.asarray(o_conv), atol=2e-5)
+
+
+def test_cls_stream_matches_token_path():
+    """The round-3 cls-stream layout (separate cls stream, 128-padded head
+    dim, v2 attention) computes the SAME function as the token-concat path
+    with the SAME parameter tree — checkpoint-exactness of the layout
+    redesign."""
+    import dataclasses
+
+    import jax
+
+    from diff_sal_tpu.config import MViTConfig
+    from diff_sal_tpu.models.mvit import MViT
+
+    cfg = MViTConfig.tiny(spatial_size=(32, 48))
+    m1 = MViT(cfg)
+    m2 = MViT(dataclasses.replace(cfg, cls_stream=True))
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 16, 32, 48, 3)) * 0.5
+    v1 = m1.init(rng, x)
+    # identical param tree (names AND shapes)
+    v2 = m2.init(rng, x)
+    t1 = jax.tree.map(lambda a: a.shape, v1)
+    t2 = jax.tree.map(lambda a: a.shape, v2)
+    assert t1 == t2
+
+    out1 = m1.apply(v1, x)
+    out2 = m2.apply(v1, x)  # same params through the other path
+    assert len(out1) == len(out2)
+    for a, b in zip(out1, out2):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5,
+            err_msg="cls_stream output diverged from token path",
+        )
+
+
+def test_cls_stream_pallas_kernel_matches_reference_path():
+    """cls_stream + use_pallas (v2 kernel, interpret on CPU) equals the
+    cls_stream XLA-einsum path."""
+    import dataclasses
+
+    import jax
+
+    from diff_sal_tpu.config import MViTConfig
+    from diff_sal_tpu.models.mvit import MViT
+
+    cfg = MViTConfig.tiny(spatial_size=(32, 48), cls_stream=True)
+    m_ref = MViT(cfg)
+    m_pal = MViT(dataclasses.replace(cfg, use_pallas_attention=True))
+
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.normal(rng, (1, 16, 32, 48, 3)) * 0.5
+    v = m_ref.init(rng, x)
+    out_ref = m_ref.apply(v, x)
+    out_pal = m_pal.apply(v, x)
+    for a, b in zip(out_ref, out_pal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)

@@ -186,3 +186,53 @@ def test_bilinear_resize_add_kernel():
     g2 = jax.grad(g, argnums=(0, 1))(acc, x)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_layernorm_masked_real_dim():
+    """real_dim: masked LN over a zero-padded last axis equals LN on the
+    unpadded slice, with the pad lanes staying exactly zero (the
+    128-aligned attention layout's checkpoint-exactness contract)."""
+    import flax.linen as nn
+
+    from diff_sal_tpu.ops.layernorm import fused_layernorm
+
+    rng = np.random.RandomState(3)
+    real, pad = 96, 128
+    x_real = jnp.asarray(rng.randn(6, 11, real).astype(np.float32))
+    x = jnp.pad(x_real, ((0, 0), (0, 0), (0, pad - real)))
+    scale = jnp.asarray(rng.rand(real).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(real).astype(np.float32) * 0.1)
+
+    ref = nn.LayerNorm(epsilon=1e-6).apply(
+        {"params": {"scale": scale, "bias": bias}}, x_real
+    )
+    for interp in (None, True):  # jnp fallback AND the pallas kernel
+        got = fused_layernorm(x, scale, bias, 1e-6, interp, real)
+        np.testing.assert_allclose(
+            np.asarray(got[..., :real]), np.asarray(ref), atol=2e-5
+        )
+        assert np.all(np.asarray(got[..., real:]) == 0.0)
+
+    # grads flow to the real channels only
+    def loss(x, s, b):
+        return jnp.sum(fused_layernorm(x, s, b, 1e-6, None, real) ** 2)
+
+    import jax
+
+    gx, gs, gb = jax.grad(loss, argnums=(0, 1, 2))(x, scale, bias)
+    assert gs.shape == (real,) and gb.shape == (real,)
+    # pad-lane input grads are nonzero (they feed the mean/var formulas) but
+    # harmless: upstream producers are pads/padded matmuls whose VJPs
+    # discard them. Real-lane grads must match LN-on-the-slice:
+    def loss_ref(xr, s, b):
+        import flax.linen as nn
+
+        out = nn.LayerNorm(epsilon=1e-6).apply(
+            {"params": {"scale": s, "bias": b}}, xr
+        )
+        return jnp.sum(out**2)
+
+    gxr = jax.grad(loss_ref)(x_real, scale, bias)
+    np.testing.assert_allclose(
+        np.asarray(gx[..., :real]), np.asarray(gxr), atol=2e-4
+    )

@@ -220,3 +220,140 @@ def test_fused_attention_bwd_bf16_dtypes():
     assert grads[3].dtype == jnp.float32
     for a in grads:
         assert np.isfinite(np.asarray(a, np.float32)).all()
+
+
+class TestV2Kernel:
+    """fused_bias_attention_v2: packed (B, Lq, H*D) layout, cls-free q,
+    concatenated rel bias (round-3 layout redesign)."""
+
+    def _make(self, B=2, H=2, hd=24, k_shape=(2, 3, 4), q_shape=(2, 6, 8),
+              seed=0):
+        rng = np.random.RandomState(seed)
+        D = 128
+        Lq = int(np.prod(q_shape))
+        Lk = 1 + int(np.prod(k_shape))
+        kt, kh, kw = k_shape
+        K = kt + kh + kw
+        Kp = 128
+
+        def pad_hd(x):  # (B, L, H, hd) -> packed (B, L, H*D), zero pad
+            return np.pad(x, ((0, 0), (0, 0), (0, 0), (0, D - hd))).reshape(
+                x.shape[0], x.shape[1], -1
+            )
+
+        q = rng.randn(B, Lq, H, hd).astype(np.float32) * 0.3
+        k = rng.randn(B, Lk, H, hd).astype(np.float32) * 0.3
+        v = rng.randn(B, Lk, H, hd).astype(np.float32) * 0.3
+        rel = rng.randn(B, Lq, H, K).astype(np.float32) * 0.2
+        relp = np.pad(rel, ((0, 0), (0, 0), (0, 0), (0, Kp - K))).reshape(
+            B, Lq, -1
+        )
+        return (q, k, v, rel), (pad_hd(q), pad_hd(k), pad_hd(v), relp)
+
+    @staticmethod
+    def _reference(q, k, v, rel, k_shape, scale, residual):
+        # plain einsum on the unpacked (B, L, H, hd) arrays
+        kt, kh, kw = k_shape
+        B, Lq, H, hd = q.shape
+        scores = np.einsum("blhc,bthc->bhlt", q * scale, k)
+        rel_t = rel[..., :kt]
+        rel_h = rel[..., kt : kt + kh]
+        rel_w = rel[..., kt + kh :]
+        bias = (
+            rel_t[:, :, :, :, None, None]
+            + rel_h[:, :, :, None, :, None]
+            + rel_w[:, :, :, None, None, :]
+        ).reshape(B, Lq, H, kt * kh * kw)
+        bias = np.pad(bias, ((0, 0), (0, 0), (0, 0), (1, 0)))  # cls col 0
+        s = scores + np.moveaxis(bias, 2, 1)
+        e = np.exp(s - s.max(-1, keepdims=True))
+        p = e / e.sum(-1, keepdims=True)
+        out = np.einsum("bhlt,bthc->blhc", p, v)
+        if residual:
+            out = out + q
+        return out
+
+    @pytest.mark.parametrize("residual", [False, True])
+    def test_forward_matches_reference(self, residual):
+        from diff_sal_tpu.ops.attention import fused_bias_attention_v2
+
+        (q, k, v, rel), (qp, kp, vp, relp) = self._make()
+        scale = 0.17
+        out = fused_bias_attention_v2(
+            jnp.asarray(qp), jnp.asarray(kp), jnp.asarray(vp),
+            jnp.asarray(relp), (2, 3, 4), 2, scale, True, residual,
+        )
+        ref = self._reference(q, k, v, rel, (2, 3, 4), scale, residual)
+        B, Lq, H, hd = q.shape
+        got = np.asarray(out).reshape(B, Lq, H, 128)
+        np.testing.assert_allclose(got[..., :hd], ref, atol=2e-5)
+        assert np.abs(got[..., hd:]).max() == 0.0  # pad lanes stay zero
+
+    def test_grads_match_reference(self):
+        from diff_sal_tpu.ops.attention import fused_bias_attention_v2
+
+        (q, k, v, rel), (qp, kp, vp, relp) = self._make(B=1, H=2)
+        scale = 0.2
+
+        def loss_kernel(qp, kp, vp, relp):
+            out = fused_bias_attention_v2(
+                qp, kp, vp, relp, (2, 3, 4), 2, scale, True, True,
+            )
+            return jnp.sum(out**2)
+
+        def loss_ref(q, k, v, rel):
+            kt, kh, kw = (2, 3, 4)
+            scores = jnp.einsum("blhc,bthc->bhlt", q * scale, k)
+            B, Lq, H, hd = q.shape
+            rel_t, rel_h, rel_w = (
+                rel[..., :kt], rel[..., kt : kt + kh], rel[..., kt + kh :]
+            )
+            bias = (
+                rel_t[:, :, :, :, None, None]
+                + rel_h[:, :, :, None, :, None]
+                + rel_w[:, :, :, None, None, :]
+            ).reshape(B, Lq, H, kt * kh * kw)
+            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0), (1, 0)))
+            p = jax.nn.softmax(scores + jnp.moveaxis(bias, 2, 1), axis=-1)
+            out = jnp.einsum("bhlt,bthc->blhc", p, v) + q
+            return jnp.sum(out**2)
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(
+            jnp.asarray(qp), jnp.asarray(kp), jnp.asarray(vp),
+            jnp.asarray(relp),
+        )
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(rel)
+        )
+        B, Lq, H, hd = q.shape
+        Lk = k.shape[1]
+        K = 9
+        np.testing.assert_allclose(
+            np.asarray(gk[0]).reshape(B, Lq, H, 128)[..., :hd],
+            np.asarray(gr[0]), atol=3e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gk[1]).reshape(B, Lk, H, 128)[..., :hd],
+            np.asarray(gr[1]), atol=3e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gk[2]).reshape(B, Lk, H, 128)[..., :hd],
+            np.asarray(gr[2]), atol=3e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gk[3]).reshape(B, Lq, H, 128)[..., :K],
+            np.asarray(gr[3]), atol=3e-5,
+        )
+
+    def test_ragged_lq_pads(self):
+        """Lq without a 128-multiple divisor falls back to row padding."""
+        from diff_sal_tpu.ops.attention import fused_bias_attention_v2
+
+        (q, k, v, rel), (qp, kp, vp, relp) = self._make(q_shape=(2, 6, 7))
+        out = fused_bias_attention_v2(
+            jnp.asarray(qp), jnp.asarray(kp), jnp.asarray(vp),
+            jnp.asarray(relp), (2, 3, 4), 2, 0.1, True, False,
+        )
+        ref = self._reference(q, k, v, rel, (2, 3, 4), 0.1, False)
+        got = np.asarray(out).reshape(q.shape[0], q.shape[1], 2, 128)
+        np.testing.assert_allclose(got[..., : q.shape[-1]], ref, atol=2e-5)
