@@ -158,7 +158,9 @@ class MViTConfig:
     # 128-lane tile inside the attention weights (masked pool-norms keep it
     # checkpoint-exact). Kills the cls slice/concat relayouts + tile pads
     # that were ~38% of the round-2 inference iteration (docs/PERF.md).
-    cls_stream: bool = False
+    # Accepted round 3 on a 5-round interleaved A/B: 129.5 -> 95.4 ms/iter
+    # (1.358x) on the full AV inference pipeline, B=8 bf16.
+    cls_stream: bool = True
     # stem lowering: conv | patches | s2d | s2d_staged (see PatchEmbed3D)
     stem_mode: str = "s2d_staged"
     # rematerialize each block in the backward pass (trade FLOPs for HBM) —
