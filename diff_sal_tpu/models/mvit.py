@@ -568,7 +568,13 @@ class MultiScaleAttention(nn.Module):
         pv = PoolParams(hd, self.pool_kernel, padded=True, name="pool_v")
 
         def pad_pool(kern):  # (kt,kh,kw,1,hd) -> (kt,kh,kw,1,D)
-            return jnp.pad(kern, ((0, 0),) * 3 + ((0, 0), (0, D - hd)))
+            k = jnp.pad(kern, ((0, 0),) * 3 + ((0, 0), (0, D - hd)))
+            # barrier: XLA's simplifier otherwise pushes the zero pad out of
+            # the grouped conv and emits an invalid batch-grouped conv for
+            # the kernel GRADIENT (output features 96 vs group count 128 —
+            # TPU compile error in the train step); the barrier keeps the
+            # padded kernel opaque. Runtime cost: none (tiny constant work).
+            return jax.lax.optimization_barrier(k)
 
         if tuple(self.stride_q) == tuple(self.stride_kv):
             pooled, q_shape = _fused_depthwise_pool(
