@@ -40,6 +40,12 @@ EXAMPLE_HOP = 11  # frames  (0.11 s)
 AUDIO_LEN = 9  # examples per clip
 MAX_AUDIO_WIN = int(22050 / 10 * 16)  # center-pad target, 35280 samples
 MODEL_AUDIO_HW = (112, 192)
+# 16 kHz equivalent of the reference's 35280-sample pad target at the
+# corpus's native 22050 Hz (saliency_db.py:477-487): the packed pipeline
+# resamples waves to 16 kHz once at pack time, so excerpts are padded into
+# this many samples before the on-device frontend (which then yields exactly
+# AUDIO_LEN examples: 158 STFT frames -> 9 hops of 11).
+PACKED_WAVE_LEN = MAX_AUDIO_WIN * SAMPLE_RATE // 22050  # 25600
 
 
 def periodic_hann(n: int) -> np.ndarray:
@@ -191,10 +197,11 @@ def log_mel_examples(wave16k):
     return log_mel[..., eidx, :]
 
 
-def device_audio_frontend(wave16k):
-    """jnp: (B, num_samples) -> (B, 9, 112, 192, 1) model audio, fully fused
-    on device (repeat/trim assumes the standard 25600-sample excerpt that
-    yields exactly 9 examples)."""
+def device_audio_frontend(wave16k, hw=None):
+    """jnp: (B, num_samples) -> (B, 9, H, W, 1) model audio, fully fused
+    on device (repeat/trim assumes the standard PACKED_WAVE_LEN=25600-sample
+    excerpt that yields exactly 9 examples). `hw` defaults to the reference
+    (112, 192) audio transform size (saliency_db.py:343-354)."""
     import jax.numpy as jnp
 
     from diff_sal_tpu.ops.resize import bilinear_resize
@@ -208,4 +215,4 @@ def device_audio_frontend(wave16k):
         ex = jnp.concatenate([ex, ex[:, : AUDIO_LEN % n]], axis=1)
         ex = ex[:, :AUDIO_LEN]
     ex = ex[..., None]  # (B, 9, 64, 64, 1)
-    return bilinear_resize(ex, MODEL_AUDIO_HW)
+    return bilinear_resize(ex, tuple(hw) if hw is not None else MODEL_AUDIO_HW)

@@ -162,7 +162,30 @@ def cmd_train_av(args):
         cfg, data_config, args.workdir, visual_params,
         splits=args.splits.split(","),
         loader_kwargs=dict(num_workers=args.n_threads),
+        packed_root=args.packed_root,
     )
+
+
+def cmd_pack(args):
+    """One-time packing pass: decode the source tree once into uint8/float32
+    memmaps at the training resolution (data/packed.py). 'dhf1k' packs a
+    frames/+maps/ tree; 'av' packs the 6-dataset corpus named by
+    --dataset_json (frames, eyeMaps, and 16 kHz-resampled waves)."""
+    if args.corpus == "dhf1k":
+        from diff_sal_tpu.data.packed import pack_dhf1k_tree
+
+        pack_dhf1k_tree(args.src, args.dst, decode=args.decode)
+    else:
+        from diff_sal_tpu.data.packed import pack_av_tree
+
+        with open(args.dataset_json) as f:
+            data_config = json.load(f)
+        # dataset.json carries sample_size as [W, H] (reference schema)
+        sw, sh = data_config.get("sample_size", [384, 224])
+        pack_av_tree(
+            data_config, args.dst, img_size=(sh, sw), decode=args.decode
+        )
+    print(f"packed -> {args.dst}")
 
 
 def cmd_test(args):
@@ -270,7 +293,18 @@ def build_parser() -> argparse.ArgumentParser:
     _common(p)
     p.add_argument("--dataset_json", default="cfgs/dataset.json")
     p.add_argument("--splits", default="split1,split2,split3")
+    p.add_argument("--packed_root", default=None,
+                   help="packed AV memmap tree (pack with `pack av`); "
+                        "frames+mel move on device")
     p.set_defaults(fn=cmd_train_av)
+
+    p = sub.add_parser("pack")
+    p.add_argument("corpus", choices=["dhf1k", "av"])
+    p.add_argument("--src", default=None, help="dhf1k source tree")
+    p.add_argument("--dst", required=True)
+    p.add_argument("--dataset_json", default="cfgs/dataset.json")
+    p.add_argument("--decode", default="cv2", choices=["pil", "cv2"])
+    p.set_defaults(fn=cmd_pack)
 
     p = sub.add_parser("test")
     _common(p)

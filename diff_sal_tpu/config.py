@@ -161,6 +161,13 @@ class MViTConfig:
     # Accepted round 3 on a 5-round interleaved A/B: 129.5 -> 95.4 ms/iter
     # (1.358x) on the full AV inference pipeline, B=8 bf16.
     cls_stream: bool = True
+    # round-3 lever 2 (docs/PERF.md): zero-pad sub-128-channel residual
+    # streams (the finest scale's C=96) to the full 128-lane tile end to
+    # end — pads are folded into the weights (zero rows/cols) and the
+    # LayerNorms run masked (real_dim), so the function is checkpoint-exact
+    # while every elementwise/norm op on the 43k-token tensors runs on
+    # full lane tiles with no relayout pad/slice copies. cls-stream only.
+    lane_pad: bool = True
     # stem lowering: conv | patches | s2d | s2d_staged (see PatchEmbed3D)
     stem_mode: str = "s2d_staged"
     # rematerialize each block in the backward pass (trade FLOPs for HBM) —
@@ -263,6 +270,10 @@ class ModelConfig:
     decoder: SalUNetConfig = dataclasses.field(default_factory=SalUNetConfig)
     # compute dtype for the heavy math; params always live in float32
     compute_dtype: str = "float32"
+    # on-device normalization stats for uint8 (packed-pipeline) rgb input:
+    # 'imagenet' (DHF1k visual pretrain) or 'stavis' (AV corpus,
+    # cfgs/dataset.json:74-77) — see data/transforms.py normalize_rgb_u8
+    uint8_norm: str = "imagenet"
 
     @classmethod
     def visual_only(cls, **kw) -> "ModelConfig":

@@ -40,11 +40,27 @@ def inverse_data_transform(cfg: DataTransformConfig, x: jnp.ndarray) -> jnp.ndar
     return jnp.clip(x, 0.0, 1.0)
 
 
-def normalize_rgb_u8(rgb: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
-    """(..., 3) uint8 -> ImageNet-normalized float, fused on device. The
-    packed input pipeline (data/packed.py) ships raw uint8 to the chip so
-    the host never touches float pixels. Shares the host loader's constants
-    (single source of truth in data/video_datasets.py)."""
+def normalize_rgb_u8(
+    rgb: jnp.ndarray, dtype=jnp.float32, stats: str = "imagenet"
+) -> jnp.ndarray:
+    """(..., 3) uint8 -> normalized float, fused on device. The packed input
+    pipelines (data/packed.py) ship raw uint8 to the chip so the host never
+    touches float pixels. Two stat conventions, sharing the host loaders'
+    constants (single sources of truth):
+
+      'imagenet' — /255 + ImageNet mean/std, the DHF1k visual-pretrain
+                   convention (data/video_datasets.py),
+      'stavis'   — STAViS mean/std in 0-255 space, the 6-dataset AV corpus
+                   convention (reference cfgs/dataset.json:74-77 norm_value=1;
+                   data/av_dataset.py AV_MEAN/AV_STD).
+    """
+    if stats == "stavis":
+        from diff_sal_tpu.data.av_dataset import AV_MEAN, AV_STD
+
+        mean = jnp.asarray(AV_MEAN, dtype)
+        std = jnp.asarray(AV_STD, dtype)
+        return (rgb.astype(dtype) - mean) / std
+    assert stats == "imagenet", stats
     from diff_sal_tpu.data.video_datasets import IMAGENET_MEAN, IMAGENET_STD
 
     mean = jnp.asarray(IMAGENET_MEAN, dtype)

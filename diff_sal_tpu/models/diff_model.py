@@ -67,7 +67,7 @@ class VideoSaliencyModel(nn.Module):
         if rgb.dtype == jnp.uint8:
             from diff_sal_tpu.data.transforms import normalize_rgb_u8
 
-            rgb = normalize_rgb_u8(rgb)
+            rgb = normalize_rgb_u8(rgb, stats=self.cfg.uint8_norm)
         if self.visual_net is None:
             return self._random_pyramid(rgb)
         return self.visual_net(rgb)

@@ -26,6 +26,29 @@ from diff_sal_tpu.models.diff_model import VideoSaliencyModel
 from diff_sal_tpu.train.losses import eval_scores, training_loss
 
 
+def audio_hw_for(cfg: ExperimentConfig) -> Tuple[int, int]:
+    """The model's audio example grid is half the saliency-map size
+    (reference audio_size = sample_size/2: cfgs/dataset.json 192x112 vs
+    384x224), keeping it 16x the coarsest video scale."""
+    h, w = cfg.model.decoder.img_size
+    return (h // 2, w // 2)
+
+
+def resolve_audio(batch, hw=None) -> Optional[jnp.ndarray]:
+    """Model audio input from a batch: precomputed log-mel examples
+    ("audio"), or — the packed AV pipeline (data/packed.py) — raw 16 kHz
+    wave excerpts ("wave") whose VGGish log-mel frontend runs HERE, inside
+    the jitted step (audio/mel.py device_audio_frontend), replacing the
+    reference's numpy-on-CPU-workers DSP (saliency_db.py:449-497)."""
+    if "audio" in batch:
+        return batch["audio"]
+    if "wave" in batch:
+        from diff_sal_tpu.audio.mel import device_audio_frontend
+
+        return device_audio_frontend(batch["wave"].astype(jnp.float32), hw)
+    return None
+
+
 class TrainState(train_state.TrainState):
     batch_stats: Any = None
     ema_params: Any = None  # parameter EMA shadow (None when disabled)
@@ -74,11 +97,13 @@ def make_train_step(
         x_noisy = q_sample(schedule, x0, t, noise)
         target = x0 if target_kind == "x0" else noise
 
+        audio = resolve_audio(batch, audio_hw_for(cfg))
+
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             data = {"rgb": batch["rgb"], "input": x_noisy}
-            if "audio" in batch:
-                data["audio"] = batch["audio"]
+            if audio is not None:
+                data["audio"] = audio
             pred, mutated = state.apply_fn(
                 variables,
                 data,
@@ -133,7 +158,7 @@ def make_eval_step(
             cfg.sampling,
             cfg.data_transform,
             batch["rgb"],
-            batch.get("audio"),
+            resolve_audio(batch, audio_hw_for(cfg)),
             rng=rng,
             training_target=cfg.training.training_target,
         )

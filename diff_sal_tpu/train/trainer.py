@@ -41,7 +41,7 @@ from diff_sal_tpu.utils.logging import (
     save_saliency_image,
 )
 
-ARRAY_KEYS = ("rgb", "salmap", "audio", "valid")
+ARRAY_KEYS = ("rgb", "salmap", "audio", "wave", "valid")
 
 
 def _device_batch(batch: Dict) -> Dict:
@@ -118,6 +118,14 @@ class Trainer:
         }
         if "audio" in sample_batch:
             data["audio"] = jnp.asarray(sample_batch["audio"][:1])
+        elif "wave" in sample_batch:
+            from diff_sal_tpu.audio.mel import device_audio_frontend
+            from diff_sal_tpu.train.train_step import audio_hw_for
+
+            data["audio"] = device_audio_frontend(
+                jnp.asarray(sample_batch["wave"][:1], jnp.float32),
+                audio_hw_for(self.cfg),
+            )
         # jit the init: eagerly it dispatches thousands of individual ops
         # (minutes over a remote-device tunnel, and no compile cache)
         variables = jax.jit(self.model.init)(rng, data, jnp.zeros((1,)))
@@ -321,18 +329,38 @@ def train_av_splits(
     visual_best_params=None,
     splits: Iterable[str] = ("split1", "split2", "split3"),
     loader_kwargs: Optional[dict] = None,
+    packed_root: Optional[str] = None,
 ):
     """The 3-split AV fine-tune protocol (reference train_av_data,
     diffusion_trainer.py:139-298): one independent training per split, each
-    warm-started from the visual best checkpoint."""
+    warm-started from the visual best checkpoint.
+
+    `packed_root` switches to the decode-free memmap pipeline
+    (data/packed.py PackedAVDataset: uint8 frames + 16 kHz wave excerpts,
+    normalization and log-mel both on device inside the jitted step)."""
     from diff_sal_tpu.data.av_dataset import build_av_datasets
     from diff_sal_tpu.data.loader import Loader
 
+    if packed_root is not None and cfg.model.uint8_norm != "stavis":
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, uint8_norm="stavis"),
+        )
     loader_kwargs = loader_kwargs or {}
     results = {}
     for split in splits:
-        train_ds = build_av_datasets(data_config, split, train=True)
-        val_ds = build_av_datasets(data_config, split, train=False)
+        if packed_root is not None:
+            from diff_sal_tpu.data.packed import PackedAVDataset
+
+            train_ds = PackedAVDataset(
+                packed_root, data_config, split, train=True
+            )
+            val_ds = PackedAVDataset(
+                packed_root, data_config, split, train=False
+            )
+        else:
+            train_ds = build_av_datasets(data_config, split, train=True)
+            val_ds = build_av_datasets(data_config, split, train=False)
         bs = cfg.training.batch_size
         train_loader = Loader(train_ds, bs, shuffle=True, **loader_kwargs)
         val_loader = Loader(val_ds, bs, shuffle=False, **loader_kwargs)
