@@ -167,7 +167,16 @@ class MViTConfig:
     # LayerNorms run masked (real_dim), so the function is checkpoint-exact
     # while every elementwise/norm op on the 43k-token tensors runs on
     # full lane tiles with no relayout pad/slice copies. cls-stream only.
-    lane_pad: bool = True
+    # Measured perf-neutral after the cls-stream rewrite (docs/PERF.md
+    # round-3 null result) — kept equality-tested, default off.
+    lane_pad: bool = False
+    # keep the cls-stream inter-block token stream flat (B, L, C) and
+    # reshape to (B, T, H, W, C) only at the depthwise pool convs: the
+    # conv ops prefer batch-in-sublane layouts which otherwise propagate
+    # through the residual stream and push every Dense/MLP dot into XLA's
+    # convolution emitters at 6-40% MFU (round-3 HLO finding, docs/PERF.md;
+    # measured 1.031x on the full pipeline, B=8)
+    tokens3d: bool = True
     # stem lowering: conv | patches | s2d | s2d_staged (see PatchEmbed3D)
     stem_mode: str = "s2d_staged"
     # rematerialize each block in the backward pass (trade FLOPs for HBM) —

@@ -63,6 +63,9 @@ class _PatchProjection(nn.Module):
     padding: Tuple[int, int, int]
     dtype: Optional[jnp.dtype] = None
     mode: str = "s2d"  # conv | patches | s2d
+    # physical output width (lane padding): kernel/bias are zero-padded from
+    # embed_dims to out_phys inside the op; params stay at embed_dims
+    out_phys: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -71,6 +74,12 @@ class _PatchProjection(nn.Module):
             "kernel", vit_init, self.kernel_size + (in_c, self.embed_dims)
         )
         bias = self.param("bias", nn.initializers.zeros, (self.embed_dims,))
+        emb = self.out_phys or self.embed_dims
+        if emb != self.embed_dims:
+            kernel = jnp.pad(
+                kernel, ((0, 0),) * 4 + ((0, emb - self.embed_dims),)
+            )
+            bias = jnp.pad(bias, (0, emb - self.embed_dims))
         dt = self.dtype or x.dtype
         pad = [(p, p) for p in self.padding]
         if self.mode == "patches":
@@ -82,7 +91,7 @@ class _PatchProjection(nn.Module):
                 dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
             )  # (..., C * prod(kernel)) with (C, kt, kh, kw)-major features
             km = jnp.transpose(kernel, (3, 0, 1, 2, 4)).reshape(
-                -1, self.embed_dims
+                -1, kernel.shape[-1]
             )
             return patches @ km.astype(dt) + bias.astype(dt)
         if self.mode == "s2d":
@@ -152,15 +161,16 @@ class _PatchProjection(nn.Module):
         # i.e. offset (s - p) within the two-block (2s) span
         kt, kh, kw = self.kernel_size
         pt, ph, pw = self.padding
+        emb = kernel.shape[-1]
         kp = jnp.zeros(
-            (2 * st, 2 * sh, 2 * sw, in_c, self.embed_dims), kernel.dtype
+            (2 * st, 2 * sh, 2 * sw, in_c, emb), kernel.dtype
         )
         kp = jax.lax.dynamic_update_slice(
             kp, kernel, (st - pt, sh - ph, sw - pw, 0, 0)
         )
-        k6 = kp.reshape(2, st, 2, sh, 2, sw, in_c, self.embed_dims)
+        k6 = kp.reshape(2, st, 2, sh, 2, sw, in_c, emb)
         k_s2d = jnp.transpose(k6, (0, 2, 4, 1, 3, 5, 6, 7)).reshape(
-            2, 2, 2, st * sh * sw * in_c, self.embed_dims
+            2, 2, 2, st * sh * sw * in_c, emb
         )
         out = jax.lax.conv_general_dilated(
             x_s2d,
@@ -186,6 +196,7 @@ class PatchEmbed3D(nn.Module):
     # patches tensor entirely (see _PatchProjection)
     mode: str = "s2d"
     flatten: bool = True
+    out_phys: Optional[int] = None  # lane-padded output width
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -196,12 +207,13 @@ class PatchEmbed3D(nn.Module):
             self.padding,
             dtype=self.dtype,
             mode=self.mode,
+            out_phys=self.out_phys,
             name="projection",
         )(x)
         out_size = x.shape[1:4]
         if not self.flatten:
             return x, out_size
-        return x.reshape(x.shape[0], -1, self.embed_dims), out_size
+        return x.reshape(x.shape[0], -1, x.shape[-1]), out_size
 
 
 class AttentionPool(nn.Module):
@@ -393,6 +405,12 @@ class MultiScaleAttention(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
     cls_stream: bool = False
+    # lane padding (cls-stream only): logical input width when the incoming
+    # stream is zero-padded beyond it, and requested physical output width
+    in_dims: Optional[int] = None
+    out_phys: Optional[int] = None
+    # flat (B, L, C) token stream; 5D only around the pool convs
+    tokens3d: bool = False
 
     HD_PAD = 128  # padded head dim: one full lane tile
 
@@ -533,9 +551,11 @@ class MultiScaleAttention(nn.Module):
     # ------------------------------------------------------------------
     def _v2(self, sp: jnp.ndarray, cls: jnp.ndarray,
             in_size: Tuple[int, int, int]):
-        """sp (B, T, H, W, C_in) normed spatial tokens, cls (B, 1, C_in).
+        """sp (B, T, H, W, C_in) — or (B, L, C_in) with tokens3d — normed
+        spatial tokens, cls (B, 1, C_in).
 
-        Returns (out_spatial (B,T',H',W',C), out_cls (B,1,C), q_shape)."""
+        Returns (out_spatial (B,T',H',W',C) or (B,L',C), out_cls (B,1,C),
+        q_shape)."""
         assert self.with_cls_token and cls is not None
         B = sp.shape[0]
         C = self.out_dims
@@ -545,15 +565,20 @@ class MultiScaleAttention(nn.Module):
         HD = H * D
         dt = self.dtype or sp.dtype
         T, Hh, Ww = in_size
+        c_in = self.in_dims or sp.shape[-1]  # logical (checkpoint) width
+        in_phys = sp.shape[-1]
 
         # qkv with head padding folded into the weights: channels ordered
-        # (part, head, D) with lanes [hd:D) zero
+        # (part, head, D) with lanes [hd:D) zero; when the incoming stream
+        # is lane-padded, the extra kernel ROWS are zero (the pad lanes are
+        # zero so they contribute nothing either way — exact)
         qkv_kernel, qkv_b = _DenseParams(
-            sp.shape[-1], C * 3, use_bias=self.qkv_bias, name="qkv"
+            c_in, C * 3, use_bias=self.qkv_bias, name="qkv"
         )()
         kp = jnp.pad(
-            qkv_kernel.reshape(-1, 3, H, hd), ((0, 0),) * 3 + ((0, D - hd),)
-        ).reshape(-1, 3 * HD).astype(dt)
+            qkv_kernel.reshape(c_in, 3, H, hd),
+            ((0, in_phys - c_in),) + ((0, 0),) * 2 + ((0, D - hd),),
+        ).reshape(in_phys, 3 * HD).astype(dt)
         qkv_sp = sp.astype(dt) @ kp
         qkv_cls = cls.astype(dt) @ kp
         if qkv_b is not None:
@@ -562,6 +587,11 @@ class MultiScaleAttention(nn.Module):
             ).reshape(-1).astype(dt)
             qkv_sp = qkv_sp + bp
             qkv_cls = qkv_cls + bp
+        if self.tokens3d:
+            # flat (B, L, 3HD) stream: materialize the 5D view only for the
+            # depthwise pool convs so their batch-in-sublane layout
+            # preference cannot propagate into the residual-stream matmuls
+            qkv_sp = qkv_sp.reshape(B, T, Hh, Ww, qkv_sp.shape[-1])
 
         pq = PoolParams(hd, self.pool_kernel, padded=True, name="pool_q")
         pk_ = PoolParams(hd, self.pool_kernel, padded=True, name="pool_k")
@@ -682,14 +712,53 @@ class MultiScaleAttention(nn.Module):
         cp = jax.nn.softmax(cs, axis=-1).astype(dt)
         out_cls = jnp.einsum("bhqk,bkhd->bqhd", cp, cv4).reshape(B, 1, HD)
 
-        # proj with the hd->D padding folded into the weight rows
+        # proj with the hd->D padding folded into the weight rows, and —
+        # when the outgoing stream is lane-padded — zero COLUMNS beyond C
+        # so the residual stream stays a full 128-lane tile
+        c_out = self.out_phys or C
         proj_kernel, proj_b = _DenseParams(C, C, name="proj")()
         pkr = jnp.pad(
-            proj_kernel.reshape(H, hd, C), ((0, 0), (0, D - hd), (0, 0))
-        ).reshape(HD, C).astype(dt)
-        out_sp = out2.astype(dt) @ pkr + proj_b.astype(dt)
-        out_cls = out_cls.astype(dt) @ pkr + proj_b.astype(dt)
-        return out_sp.reshape((B,) + q_shape + (C,)), out_cls, q_shape
+            proj_kernel.reshape(H, hd, C),
+            ((0, 0), (0, D - hd), (0, c_out - C)),
+        ).reshape(HD, c_out).astype(dt)
+        pb = jnp.pad(proj_b, (0, c_out - C)).astype(dt)
+        out_sp = out2.astype(dt) @ pkr + pb
+        out_cls = out_cls.astype(dt) @ pkr + pb
+        if self.tokens3d:
+            return out_sp, out_cls, q_shape  # already (B, Lq, c_out)
+        return out_sp.reshape((B,) + q_shape + (c_out,)), out_cls, q_shape
+
+
+class PaddedMlp(nn.Module):
+    """Mlp with lane padding folded into the weights: fc1 kernel rows are
+    zero-padded from in_features to the physical input width, fc2 kernel
+    columns from out_features to out_phys. Same param tree as Mlp
+    (fc1/fc2 kernel+bias at the logical checkpoint sizes)."""
+
+    in_features: int
+    hidden_features: int
+    out_features: int
+    out_phys: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        dt = self.dtype or x.dtype
+        k1, b1 = _DenseParams(
+            self.in_features, self.hidden_features, name="fc1"
+        )()
+        k1 = jnp.pad(
+            k1, ((0, x.shape[-1] - self.in_features), (0, 0))
+        ).astype(dt)
+        h = gelu_exact(x.astype(dt) @ k1 + b1.astype(dt))
+        k2, b2 = _DenseParams(
+            self.hidden_features, self.out_features, name="fc2"
+        )()
+        k2 = jnp.pad(
+            k2, ((0, 0), (0, self.out_phys - self.out_features))
+        ).astype(dt)
+        b2 = jnp.pad(b2, (0, self.out_phys - self.out_features)).astype(dt)
+        return h @ k2 + b2
 
 
 class MultiScaleBlock(nn.Module):
@@ -712,6 +781,11 @@ class MultiScaleBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
     cls_stream: bool = False
+    # lane padding (cls-stream only): physical widths of the in/out streams
+    in_phys: Optional[int] = None
+    out_phys: Optional[int] = None
+    # flat (B, L, C) residual stream (cls-stream only, see MViTConfig)
+    tokens3d: bool = False
 
     @nn.compact
     def __call__(self, x, in_size: Tuple[int, int, int]):
@@ -721,7 +795,14 @@ class MultiScaleBlock(nn.Module):
             sp, cls = x
         else:
             sp, cls = x, None
-        norm1 = FusedLayerNorm(epsilon=1e-6, name="norm1")
+        in_phys = self.in_phys or self.in_dims
+        out_phys = self.out_phys or self.out_dims
+        pad_in = in_phys != self.in_dims
+        pad_out = out_phys != self.out_dims
+        norm1 = FusedLayerNorm(
+            epsilon=1e-6, real_dim=self.in_dims if pad_in else None,
+            name="norm1",
+        )
         attn = MultiScaleAttention(
             out_dims=self.out_dims,
             num_heads=self.num_heads,
@@ -736,25 +817,56 @@ class MultiScaleBlock(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             cls_stream=self.cls_stream,
+            in_dims=self.in_dims if pad_in else None,
+            out_phys=out_phys if pad_out else None,
+            tokens3d=self.tokens3d,
             name="attn",
         )
-        norm2 = FusedLayerNorm(epsilon=1e-6, name="norm2")
-        mlp = Mlp(
-            hidden_features=int(self.out_dims * self.mlp_ratio),
-            out_features=self.out_dims,
-            act=gelu_exact,
-            kernel_init=vit_init,
-            dtype=self.dtype,
-            name="mlp",
+        norm2 = FusedLayerNorm(
+            epsilon=1e-6, real_dim=self.out_dims if pad_out else None,
+            name="norm2",
         )
-        proj = (
-            nn.Dense(
-                self.out_dims, kernel_init=vit_init, dtype=self.dtype,
-                name="proj",
+        if pad_in or pad_out:
+            mlp = PaddedMlp(
+                in_features=self.out_dims,
+                hidden_features=int(self.out_dims * self.mlp_ratio),
+                out_features=self.out_dims,
+                out_phys=out_phys,
+                dtype=self.dtype,
+                name="mlp",
             )
-            if self.in_dims != self.out_dims
-            else None
-        )
+        else:
+            mlp = Mlp(
+                hidden_features=int(self.out_dims * self.mlp_ratio),
+                out_features=self.out_dims,
+                act=gelu_exact,
+                kernel_init=vit_init,
+                dtype=self.dtype,
+                name="mlp",
+            )
+        proj = None
+        if self.in_dims != self.out_dims:
+            if pad_in or pad_out:
+                proj_k, proj_bias = _DenseParams(
+                    self.in_dims, self.out_dims, name="proj"
+                )()
+
+                def proj(t):  # noqa: E306 — padded-weight skip projection
+                    dtp = self.dtype or t.dtype
+                    k = jnp.pad(
+                        proj_k,
+                        ((0, in_phys - self.in_dims),
+                         (0, out_phys - self.out_dims)),
+                    ).astype(dtp)
+                    b = jnp.pad(
+                        proj_bias, (0, out_phys - self.out_dims)
+                    ).astype(dtp)
+                    return t.astype(dtp) @ k + b
+            else:
+                proj = nn.Dense(
+                    self.out_dims, kernel_init=vit_init, dtype=self.dtype,
+                    name="proj",
+                )
         strided = int(np.prod(self.stride_q)) > 1
 
         if not self.cls_stream:
@@ -774,12 +886,19 @@ class MultiScaleBlock(nn.Module):
         skip_cls = proj(cls_n) if proj is not None else cls
         if strided:
             kernel = tuple(s + 1 if s > 1 else s for s in self.stride_q)
+            if self.tokens3d:
+                B = skip_sp.shape[0]
+                skip_sp = skip_sp.reshape(
+                    (B,) + tuple(in_size) + (skip_sp.shape[-1],)
+                )
             skip_sp = nn.max_pool(
                 skip_sp,
                 window_shape=kernel,
                 strides=self.stride_q,
                 padding=[(k // 2, k // 2) for k in kernel],
             )
+            if self.tokens3d:
+                skip_sp = skip_sp.reshape(B, -1, skip_sp.shape[-1])
         sp = skip_sp + attn_sp
         cls = skip_cls + attn_cls
         sp = sp + mlp(norm2(sp))
@@ -848,9 +967,20 @@ class MViT(nn.Module):
         cfg = self.cfg
         B = x.shape[0]
         cls_stream = cfg.cls_stream and cfg.with_cls_token
+        lane_pad = cls_stream and cfg.lane_pad
+        tokens3d = cls_stream and cfg.tokens3d
+
+        def phys(c: int) -> int:
+            # physical lane width of a C-channel residual stream: sub-tile
+            # widths (the finest scale's 96) run zero-padded to one full
+            # 128-lane tile (docs/PERF.md round-3 lever 2)
+            return 128 if (lane_pad and c < 128) else c
+
         tokens, size = PatchEmbed3D(
             cfg.embed_dims, dtype=self.dtype, mode=cfg.stem_mode,
-            flatten=not cls_stream, name="patch_embed",
+            flatten=(not cls_stream) or tokens3d,
+            out_phys=phys(cfg.embed_dims) if lane_pad else None,
+            name="patch_embed",
         )(x)
 
         cls_token = self.param(
@@ -862,6 +992,11 @@ class MViT(nn.Module):
         cls_b = jnp.broadcast_to(
             cls_token.astype(tokens.dtype), (B, 1, cfg.embed_dims)
         )
+        if lane_pad and phys(cfg.embed_dims) != cfg.embed_dims:
+            cls_b = jnp.pad(
+                cls_b,
+                ((0, 0), (0, 0), (0, phys(cfg.embed_dims) - cfg.embed_dims)),
+            )
         if cls_stream:
             # cls rides a separate (B, 1, C) stream — the 43k-token spatial
             # tensor stays (B, T, H, W, C) end to end, with no cls
@@ -893,16 +1028,31 @@ class MViT(nn.Module):
                 dtype=self.dtype,
                 use_pallas=cfg.use_pallas_attention,
                 cls_stream=cls_stream,
+                in_phys=phys(plan["in_dims"]) if lane_pad else None,
+                out_phys=phys(plan["out_dims"]) if lane_pad else None,
+                tokens3d=tokens3d,
                 name=f"blocks_{i}",
             )(tokens, size)
             stage = plan["emit_scale"]
             if stage is not None and stage in cfg.out_scales:
-                norm = FusedLayerNorm(epsilon=1e-6, name=f"norm{stage}")
+                c_out = plan["out_dims"]
+                norm = FusedLayerNorm(
+                    epsilon=1e-6,
+                    real_dim=c_out if phys(c_out) != c_out else None,
+                    name=f"norm{stage}",
+                )
                 T, H, W = size
                 if cls_stream:
                     # LN is per-token: norming the spatial tensor alone
-                    # equals norming [cls | spatial] and dropping cls
-                    outs.append(norm(tokens[0]))
+                    # equals norming [cls | spatial] and dropping cls.
+                    # Lane-padded streams slice back to the checkpoint
+                    # width at emission (one copy, once — not per block).
+                    normed = norm(tokens[0])
+                    if phys(c_out) != c_out:
+                        normed = normed[..., :c_out]
+                    if tokens3d:
+                        normed = normed.reshape(B, T, H, W, c_out)
+                    outs.append(normed)
                 else:
                     normed = norm(tokens)
                     patch = normed[:, 1:] if cfg.with_cls_token else normed

@@ -109,9 +109,10 @@ def test_cls_stream_matches_token_path():
     from diff_sal_tpu.config import MViTConfig
     from diff_sal_tpu.models.mvit import MViT
 
-    cfg = MViTConfig.tiny(spatial_size=(32, 48))
+    # cls_stream defaults True now — pin the token-concat baseline explicitly
+    cfg = MViTConfig.tiny(spatial_size=(32, 48), cls_stream=False)
     m1 = MViT(cfg)
-    m2 = MViT(dataclasses.replace(cfg, cls_stream=True))
+    m2 = MViT(dataclasses.replace(cfg, cls_stream=True, lane_pad=False))
 
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (2, 16, 32, 48, 3)) * 0.5
@@ -130,6 +131,71 @@ def test_cls_stream_matches_token_path():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5,
             err_msg="cls_stream output diverged from token path",
+        )
+
+
+def test_lane_pad_matches_unpadded():
+    """lane_pad (96->128 finest-scale stream padding, round-3 lever 2)
+    computes the SAME function with the SAME param tree as the unpadded
+    cls-stream path — pads live in zero weight rows/cols and masked
+    LayerNorms only."""
+    import dataclasses
+
+    import jax
+
+    from diff_sal_tpu.config import MViTConfig
+    from diff_sal_tpu.models.mvit import MViT
+
+    cfg = MViTConfig.tiny(spatial_size=(32, 48), cls_stream=True)
+    m1 = MViT(dataclasses.replace(cfg, lane_pad=False))
+    m2 = MViT(dataclasses.replace(cfg, lane_pad=True))
+
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (2, 16, 32, 48, 3)) * 0.5
+    v1 = m1.init(rng, x)
+    v2 = m2.init(rng, x)
+    assert jax.tree.map(lambda a: a.shape, v1) == jax.tree.map(
+        lambda a: a.shape, v2
+    )
+    out1 = m1.apply(v1, x)
+    out2 = m2.apply(v1, x)  # same params through the padded path
+    for a, b in zip(out1, out2):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5,
+            err_msg="lane_pad output diverged from unpadded path",
+        )
+
+
+def test_tokens3d_matches_5d_stream():
+    """tokens3d (flat (B,L,C) inter-block stream, 5D only at pool convs)
+    computes the SAME function with the SAME param tree as the 5D
+    cls-stream path."""
+    import dataclasses
+
+    import jax
+
+    from diff_sal_tpu.config import MViTConfig
+    from diff_sal_tpu.models.mvit import MViT
+
+    cfg = MViTConfig.tiny(spatial_size=(32, 48), cls_stream=True)
+    m1 = MViT(dataclasses.replace(cfg, tokens3d=False))
+    m2 = MViT(dataclasses.replace(cfg, tokens3d=True))
+
+    rng = jax.random.PRNGKey(5)
+    x = jax.random.normal(rng, (2, 16, 32, 48, 3)) * 0.5
+    v1 = m1.init(rng, x)
+    v2 = m2.init(rng, x)
+    assert jax.tree.map(lambda a: a.shape, v1) == jax.tree.map(
+        lambda a: a.shape, v2
+    )
+    out1 = m1.apply(v1, x)
+    out2 = m2.apply(v1, x)  # same params through the flat-stream path
+    for a, b in zip(out1, out2):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5,
+            err_msg="tokens3d output diverged from the 5D stream path",
         )
 
 
