@@ -177,6 +177,13 @@ class MViTConfig:
     # convolution emitters at 6-40% MFU (round-3 HLO finding, docs/PERF.md;
     # measured 1.031x on the full pipeline, B=8)
     tokens3d: bool = True
+    # flatten (B, L, C) -> (B*L, C) around every Dense-style dot in the
+    # cls-stream path: XLA:TPU emits the 3-free-dim dots through a windowed
+    # emitter at ~20% MFU (batch rides the window loop, xplane
+    # add_add_fusion ~0.59 ms where ideal is 0.13); a 2D dot takes the
+    # plain MXU matmul path. tokens3d only. Measured 1.044x on the full
+    # pipeline (93.3 -> 89.4 ms/iter, B=8).
+    flat_dots: bool = True
     # stem lowering: conv | patches | s2d | s2d_staged (see PatchEmbed3D)
     stem_mode: str = "s2d_staged"
     # rematerialize each block in the backward pass (trade FLOPs for HBM) —

@@ -411,6 +411,8 @@ class MultiScaleAttention(nn.Module):
     out_phys: Optional[int] = None
     # flat (B, L, C) token stream; 5D only around the pool convs
     tokens3d: bool = False
+    # 2D (B*L, C) operands for the qkv/proj dots (see MViTConfig.flat_dots)
+    flat_dots: bool = False
 
     HD_PAD = 128  # padded head dim: one full lane tile
 
@@ -579,7 +581,11 @@ class MultiScaleAttention(nn.Module):
             qkv_kernel.reshape(c_in, 3, H, hd),
             ((0, in_phys - c_in),) + ((0, 0),) * 2 + ((0, D - hd),),
         ).reshape(in_phys, 3 * HD).astype(dt)
-        qkv_sp = sp.astype(dt) @ kp
+        sp_mat = sp.astype(dt)
+        if self.tokens3d and self.flat_dots:
+            # 2D operand -> plain MXU matmul emission (MViTConfig.flat_dots)
+            sp_mat = sp_mat.reshape(-1, in_phys)
+        qkv_sp = sp_mat @ kp
         qkv_cls = cls.astype(dt) @ kp
         if qkv_b is not None:
             bp = jnp.pad(
@@ -722,10 +728,13 @@ class MultiScaleAttention(nn.Module):
             ((0, 0), (0, D - hd), (0, c_out - C)),
         ).reshape(HD, c_out).astype(dt)
         pb = jnp.pad(proj_b, (0, c_out - C)).astype(dt)
-        out_sp = out2.astype(dt) @ pkr + pb
+        out_mat = out2.astype(dt)
+        if self.tokens3d and self.flat_dots:
+            out_mat = out_mat.reshape(-1, HD)
+        out_sp = out_mat @ pkr + pb
         out_cls = out_cls.astype(dt) @ pkr + pb
         if self.tokens3d:
-            return out_sp, out_cls, q_shape  # already (B, Lq, c_out)
+            return out_sp.reshape(B, Lq, c_out), out_cls, q_shape
         return out_sp.reshape((B,) + q_shape + (c_out,)), out_cls, q_shape
 
 
@@ -786,6 +795,8 @@ class MultiScaleBlock(nn.Module):
     out_phys: Optional[int] = None
     # flat (B, L, C) residual stream (cls-stream only, see MViTConfig)
     tokens3d: bool = False
+    # 2D (B*L, C) operands for every Dense dot (see MViTConfig.flat_dots)
+    flat_dots: bool = False
 
     @nn.compact
     def __call__(self, x, in_size: Tuple[int, int, int]):
@@ -820,6 +831,7 @@ class MultiScaleBlock(nn.Module):
             in_dims=self.in_dims if pad_in else None,
             out_phys=out_phys if pad_out else None,
             tokens3d=self.tokens3d,
+            flat_dots=self.flat_dots,
             name="attn",
         )
         norm2 = FusedLayerNorm(
@@ -882,7 +894,13 @@ class MultiScaleBlock(nn.Module):
 
         sp_n, cls_n = norm1(sp), norm1(cls)
         attn_sp, attn_cls, out_size = attn(sp_n, in_size, cls_n)
-        skip_sp = proj(sp_n) if proj is not None else sp
+        if proj is None:
+            skip_sp = sp
+        elif self.tokens3d and self.flat_dots:
+            Bp, Lp, Cp = sp_n.shape
+            skip_sp = proj(sp_n.reshape(Bp * Lp, Cp)).reshape(Bp, Lp, -1)
+        else:
+            skip_sp = proj(sp_n)
         skip_cls = proj(cls_n) if proj is not None else cls
         if strided:
             kernel = tuple(s + 1 if s > 1 else s for s in self.stride_q)
@@ -901,7 +919,12 @@ class MultiScaleBlock(nn.Module):
                 skip_sp = skip_sp.reshape(B, -1, skip_sp.shape[-1])
         sp = skip_sp + attn_sp
         cls = skip_cls + attn_cls
-        sp = sp + mlp(norm2(sp))
+        if self.tokens3d and self.flat_dots:
+            B2, L2, C2 = sp.shape
+            sp_n = norm2(sp).reshape(B2 * L2, C2)
+            sp = sp + mlp(sp_n).reshape(B2, L2, -1)
+        else:
+            sp = sp + mlp(norm2(sp))
         cls = cls + mlp(norm2(cls))
         return (sp, cls), out_size
 
@@ -1031,6 +1054,7 @@ class MViT(nn.Module):
                 in_phys=phys(plan["in_dims"]) if lane_pad else None,
                 out_phys=phys(plan["out_dims"]) if lane_pad else None,
                 tokens3d=tokens3d,
+                flat_dots=cfg.flat_dots,
                 name=f"blocks_{i}",
             )(tokens, size)
             stage = plan["emit_scale"]
