@@ -184,6 +184,14 @@ class MViTConfig:
     # plain MXU matmul path. tokens3d only. Measured 1.044x on the full
     # pipeline (93.3 -> 89.4 ms/iter, B=8).
     flat_dots: bool = True
+    # MLP activation: "exact" = erf GELU (reference torch nn.GELU default,
+    # mvit.py:673-792) | "tanh" = tanh approximation. The exact erfc costs
+    # ~40 VPU ops/element on ~660M MLP hidden elements per batch — one of
+    # the largest single VPU costs in the round-3 trace; tanh measured
+    # 1.081x on the full pipeline (89.7 -> 83.0 ms/iter B=8) and is within
+    # 1 bf16 ULP of exact on the bf16 compute path (max|A-B| = 0.0039).
+    # f32 parity tests vs torch pin "exact" (docs/PERF.md).
+    gelu: str = "tanh"
     # stem lowering: conv | patches | s2d | s2d_staged (see PatchEmbed3D)
     stem_mode: str = "s2d_staged"
     # rematerialize each block in the backward pass (trade FLOPs for HBM) —
@@ -272,6 +280,10 @@ class SalUNetConfig:
     # noise-encoder channels (reference sal_unet.py:228-259)
     noise_ch: int = 96
     dropout: float = 0.1
+    # MLP activation: "tanh" approximation is within 1 bf16 ULP of the
+    # exact erf GELU and saves the erfc VPU chain (see MViTConfig.gelu);
+    # parity tests against torch in f32 pin "exact".
+    gelu: str = "tanh"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -21,6 +21,10 @@ import jax.numpy as jnp
 # approximation, so pin approximate=False everywhere.
 gelu_exact = lambda x: jax.nn.gelu(x, approximate=False)  # noqa: E731
 
+# tanh approximation (~1e-3 max abs delta from exact): far fewer VPU ops
+# than the erfc chain — selectable via MViTConfig.gelu (docs/PERF.md r3)
+gelu_tanh = lambda x: jax.nn.gelu(x, approximate=True)  # noqa: E731
+
 # N(0, 0.01) — the SalUNet init override (reference sal_unet.py:263-277).
 salunet_init = nn.initializers.normal(stddev=0.01)
 # timm trunc_normal_(std=0.02) — ViT-style init.

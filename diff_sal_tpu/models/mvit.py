@@ -23,7 +23,7 @@ Shape trace for rgb (B, 16, 224, 384, 3):
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -32,7 +32,7 @@ import numpy as np
 
 from diff_sal_tpu.config import MViTConfig
 from diff_sal_tpu.models.layers import (FusedLayerNorm, Mlp, gelu_exact,
-                                         vit_init)
+                                         gelu_tanh, vit_init)
 from diff_sal_tpu.ops.rel_pos import add_decomposed_rel_pos
 
 
@@ -749,6 +749,7 @@ class PaddedMlp(nn.Module):
     out_features: int
     out_phys: int
     dtype: Optional[jnp.dtype] = None
+    act: Callable = gelu_exact
 
     @nn.compact
     def __call__(self, x):
@@ -759,7 +760,7 @@ class PaddedMlp(nn.Module):
         k1 = jnp.pad(
             k1, ((0, x.shape[-1] - self.in_features), (0, 0))
         ).astype(dt)
-        h = gelu_exact(x.astype(dt) @ k1 + b1.astype(dt))
+        h = self.act(x.astype(dt) @ k1 + b1.astype(dt))
         k2, b2 = _DenseParams(
             self.hidden_features, self.out_features, name="fc2"
         )()
@@ -797,6 +798,8 @@ class MultiScaleBlock(nn.Module):
     tokens3d: bool = False
     # 2D (B*L, C) operands for every Dense dot (see MViTConfig.flat_dots)
     flat_dots: bool = False
+    # MLP activation (MViTConfig.gelu)
+    act: Callable = gelu_exact
 
     @nn.compact
     def __call__(self, x, in_size: Tuple[int, int, int]):
@@ -845,13 +848,14 @@ class MultiScaleBlock(nn.Module):
                 out_features=self.out_dims,
                 out_phys=out_phys,
                 dtype=self.dtype,
+                act=self.act,
                 name="mlp",
             )
         else:
             mlp = Mlp(
                 hidden_features=int(self.out_dims * self.mlp_ratio),
                 out_features=self.out_dims,
-                act=gelu_exact,
+                act=self.act,
                 kernel_init=vit_init,
                 dtype=self.dtype,
                 name="mlp",
@@ -1055,6 +1059,7 @@ class MViT(nn.Module):
                 out_phys=phys(plan["out_dims"]) if lane_pad else None,
                 tokens3d=tokens3d,
                 flat_dots=cfg.flat_dots,
+                act=gelu_tanh if cfg.gelu == "tanh" else gelu_exact,
                 name=f"blocks_{i}",
             )(tokens, size)
             stage = plan["emit_scale"]

@@ -26,7 +26,7 @@ checkpoint parity):
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -40,6 +40,7 @@ from diff_sal_tpu.models.layers import (
     MLPHead,
     Mlp,
     gelu_exact,
+    gelu_tanh,
     salunet_init,
     timestep_embedding,
 )
@@ -249,6 +250,7 @@ class TransformerBlock(nn.Module):
     stride_kv: int = 2
     audio_dim: int = 512
     dtype: Optional[jnp.dtype] = None
+    act: Callable = gelu_exact
 
     @nn.compact
     def __call__(
@@ -294,8 +296,8 @@ class TransformerBlock(nn.Module):
         tokens = attn_out + tokens
 
         mlp_out = Mlp(
-            hidden_features=int(C * self.mlp_ratio), dtype=self.dtype,
-            name="mlp",
+            hidden_features=int(C * self.mlp_ratio), act=self.act,
+            dtype=self.dtype, name="mlp",
         )(FusedLayerNorm(name="norm2")(tokens), deterministic=not train)
         tokens = tokens + DropPath(self.drop_path_rate, name="drop_path")(
             mlp_out, deterministic=not train
@@ -373,6 +375,7 @@ class TransformerStage(nn.Module):
     stride_kv: int
     has_patch_embed: bool
     dtype: Optional[jnp.dtype] = None
+    act: Callable = gelu_exact
 
     @nn.compact
     def __call__(
@@ -398,6 +401,7 @@ class TransformerStage(nn.Module):
             kernel_kv=self.kernel_kv,
             stride_kv=self.stride_kv,
             dtype=self.dtype,
+            act=self.act,
             name="block",
         )(x, audio, train=train)
         return x
@@ -438,6 +442,7 @@ class Decoder(nn.Module):
                 stride_kv=cfg.stride_kv[i],
                 has_patch_embed=cfg.patch_size[i] > 0,
                 dtype=self.dtype,
+                act=gelu_tanh if cfg.gelu == "tanh" else gelu_exact,
                 name=f"stage{i}",
             )(x, back_fea, audio, train=train)
 

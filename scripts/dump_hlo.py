@@ -2,9 +2,10 @@
 selected instructions (default: the add_add fusions), to chase layout
 problems the xplane categories only hint at.
 
-    python scripts/dump_hlo.py [batch] [regex]
+    python scripts/dump_hlo.py [batch] [regex] [mvit overrides k=v,k=v]
 """
 
+import ast
 import dataclasses
 import re
 import sys
@@ -30,8 +31,16 @@ def main():
     cfg = dataclasses.replace(
         ModelConfig.audio_visual(), compute_dtype="bfloat16"
     )
+    ov = {}
+    if len(sys.argv) > 3:
+        for part in sys.argv[3].split(","):
+            k, v = part.split("=", 1)
+            ov[k.strip()] = ast.literal_eval(v.strip())
     cfg = dataclasses.replace(
-        cfg, visual=dataclasses.replace(cfg.visual, use_pallas_attention=True)
+        cfg,
+        visual=dataclasses.replace(
+            cfg.visual, use_pallas_attention=True, **ov
+        ),
     )
     model = VideoSaliencyModel(cfg)
     key = jax.random.PRNGKey(0)

@@ -192,7 +192,16 @@ def test_full_model_forward_parity_vs_reference():
             torch.from_numpy(t),
         )
 
+    import dataclasses
+
+    # the shipped default is the tanh-approximate GELU (1 bf16 ULP); this
+    # test compares f32 vs torch nn.GELU (exact erf), so pin "exact"
     cfg = ModelConfig.audio_visual()
+    cfg = dataclasses.replace(
+        cfg,
+        visual=dataclasses.replace(cfg.visual, gelu="exact"),
+        decoder=dataclasses.replace(cfg.decoder, gelu="exact"),
+    )
     model = VideoSaliencyModel(cfg)
     rgb = jnp.asarray(np.transpose(img, (0, 2, 3, 4, 1)))
     aud = jnp.asarray(np.transpose(audio, (0, 2, 3, 4, 1)))
