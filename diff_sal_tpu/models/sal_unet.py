@@ -295,10 +295,16 @@ class TransformerBlock(nn.Module):
         )(attn_in, (H, W), audio_tokens)
         tokens = attn_out + tokens
 
+        # 2D (rows, C) operands for the MLP dots: XLA:TPU windows
+        # 3-free-dim dots with the batch riding the window loop (same
+        # finding as MViTConfig.flat_dots, docs/PERF.md round 3)
         mlp_out = Mlp(
             hidden_features=int(C * self.mlp_ratio), act=self.act,
             dtype=self.dtype, name="mlp",
-        )(FusedLayerNorm(name="norm2")(tokens), deterministic=not train)
+        )(
+            FusedLayerNorm(name="norm2")(tokens).reshape(-1, C),
+            deterministic=not train,
+        ).reshape(B * T, H * W, C)
         tokens = tokens + DropPath(self.drop_path_rate, name="drop_path")(
             mlp_out, deterministic=not train
         )

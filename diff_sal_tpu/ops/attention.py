@@ -470,7 +470,11 @@ def _attn_v2_kernel(q_ref, k_ref, v_ref, rel_ref, e_ref, mask_ref, o_ref, *,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    bias = jnp.dot(rel_ref[0].astype(jnp.float32), e_ref[...],
+    # E is a {0,1} one-hot expansion (exact in bf16), rel is already the
+    # input dtype: an input-dtype dot runs the MXU at full (4x f32) rate
+    # with f32 accumulation and produces bit-identical sums of <=3 rel
+    # entries — same values as the old f32 cast path
+    bias = jnp.dot(rel_ref[0], e_ref[...].astype(rel_ref.dtype),
                    preferred_element_type=jnp.float32)
     probs = jax.nn.softmax(scores + bias + mask_ref[...], axis=-1)
     out = jnp.dot(probs.astype(q.dtype), v_ref[0],
@@ -554,7 +558,8 @@ def _attn_v2_bwd_kernel(q_ref, k_ref, v_ref, rel_ref, e_ref, mask_ref, g_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    bias = jnp.dot(rel_ref[0].astype(jnp.float32), e_ref[...],
+    # input-dtype one-hot bias dot — see the forward kernel
+    bias = jnp.dot(rel_ref[0], e_ref[...].astype(rel_ref.dtype),
                    preferred_element_type=jnp.float32)
     p = jax.nn.softmax(scores + bias + mask_ref[...], axis=-1)
     p_lo = p.astype(q.dtype)
