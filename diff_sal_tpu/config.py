@@ -192,6 +192,12 @@ class MViTConfig:
     # 1 bf16 ULP of exact on the bf16 compute path (max|A-B| = 0.0039).
     # f32 parity tests vs torch pin "exact" (docs/PERF.md).
     gelu: str = "tanh"
+    # fold the skip projection's columns into the qkv dot at the channel-
+    # expansion blocks (1/3/14): the standalone (L,96)@(96,192) proj emits
+    # "OutputBatchInLanes" with a TRANSPOSED output, cascading a ~2 ms
+    # relayout copy at block 1 (HLO backend_config evidence, docs/PERF.md).
+    # cls-stream + tokens3d only; same param tree.
+    fold_proj: bool = False
     # stem lowering: conv | patches | s2d | s2d_staged (see PatchEmbed3D)
     stem_mode: str = "s2d_staged"
     # rematerialize each block in the backward pass (trade FLOPs for HBM) —

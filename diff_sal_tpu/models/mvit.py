@@ -418,9 +418,10 @@ class MultiScaleAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, in_size: Tuple[int, int, int],
-                 cls: Optional[jnp.ndarray] = None):
+                 cls: Optional[jnp.ndarray] = None, skip_kb=None):
         if self.cls_stream:
-            return self._v2(x, cls, in_size)
+            return self._v2(x, cls, in_size, skip_kb)
+        assert skip_kb is None
         B, N, _ = x.shape
         head_dim = self.out_dims // self.num_heads
 
@@ -552,12 +553,15 @@ class MultiScaleAttention(nn.Module):
     # cls-stream (v2) path
     # ------------------------------------------------------------------
     def _v2(self, sp: jnp.ndarray, cls: jnp.ndarray,
-            in_size: Tuple[int, int, int]):
+            in_size: Tuple[int, int, int], skip_kb=None):
         """sp (B, T, H, W, C_in) — or (B, L, C_in) with tokens3d — normed
         spatial tokens, cls (B, 1, C_in).
 
         Returns (out_spatial (B,T',H',W',C) or (B,L',C), out_cls (B,1,C),
-        q_shape)."""
+        q_shape). With skip_kb=(kernel (C_in, Cs), bias (Cs,)) the skip
+        projection's columns ride the qkv dot (one matmul, no standalone
+        small-K dot) and two extra outputs are appended:
+        (skip_sp (B,L,Cs), skip_cls (B,1,Cs)). tokens3d only."""
         assert self.with_cls_token and cls is not None
         B = sp.shape[0]
         C = self.out_dims
@@ -581,6 +585,15 @@ class MultiScaleAttention(nn.Module):
             qkv_kernel.reshape(c_in, 3, H, hd),
             ((0, in_phys - c_in),) + ((0, 0),) * 2 + ((0, D - hd),),
         ).reshape(in_phys, 3 * HD).astype(dt)
+        c_skip = 0
+        if skip_kb is not None:
+            assert self.tokens3d, "fold_proj requires tokens3d"
+            sk_k, sk_b = skip_kb  # (c_in, c_skip) logical widths
+            c_skip = sk_k.shape[1]
+            kp = jnp.concatenate(
+                [kp, jnp.pad(sk_k, ((0, in_phys - c_in), (0, 0))).astype(dt)],
+                axis=1,
+            )
         sp_mat = sp.astype(dt)
         if self.tokens3d and self.flat_dots:
             # 2D operand -> plain MXU matmul emission (MViTConfig.flat_dots)
@@ -591,8 +604,22 @@ class MultiScaleAttention(nn.Module):
             bp = jnp.pad(
                 qkv_b.reshape(3, H, hd), ((0, 0), (0, 0), (0, D - hd))
             ).reshape(-1).astype(dt)
+            if c_skip:
+                bp = jnp.concatenate([bp, sk_b.astype(dt)])
             qkv_sp = qkv_sp + bp
             qkv_cls = qkv_cls + bp
+        elif c_skip and sk_b is not None:
+            sb = jnp.concatenate(
+                [jnp.zeros((3 * HD,), dt), sk_b.astype(dt)]
+            )
+            qkv_sp = qkv_sp + sb
+            qkv_cls = qkv_cls + sb
+        skip_sp = skip_cls = None
+        if c_skip:
+            skip_sp = qkv_sp[..., 3 * HD :].reshape(B, -1, c_skip)
+            skip_cls = qkv_cls[..., 3 * HD :]
+            qkv_sp = qkv_sp[..., : 3 * HD]
+            qkv_cls = qkv_cls[..., : 3 * HD]
         if self.tokens3d:
             # flat (B, L, 3HD) stream: materialize the 5D view only for the
             # depthwise pool convs so their batch-in-sublane layout
@@ -734,7 +761,10 @@ class MultiScaleAttention(nn.Module):
         out_sp = out_mat @ pkr + pb
         out_cls = out_cls.astype(dt) @ pkr + pb
         if self.tokens3d:
-            return out_sp.reshape(B, Lq, c_out), out_cls, q_shape
+            out_sp = out_sp.reshape(B, Lq, c_out)
+            if c_skip:
+                return out_sp, out_cls, q_shape, skip_sp, skip_cls
+            return out_sp, out_cls, q_shape
         return out_sp.reshape((B,) + q_shape + (c_out,)), out_cls, q_shape
 
 
@@ -798,6 +828,8 @@ class MultiScaleBlock(nn.Module):
     tokens3d: bool = False
     # 2D (B*L, C) operands for every Dense dot (see MViTConfig.flat_dots)
     flat_dots: bool = False
+    # skip projection rides the qkv dot (see MViTConfig.fold_proj)
+    fold_proj: bool = False
     # MLP activation (MViTConfig.gelu)
     act: Callable = gelu_exact
 
@@ -860,8 +892,21 @@ class MultiScaleBlock(nn.Module):
                 dtype=self.dtype,
                 name="mlp",
             )
+        fold = (
+            self.fold_proj
+            and self.cls_stream
+            and self.tokens3d
+            and self.in_dims != self.out_dims
+            and not (pad_in or pad_out)
+        )
         proj = None
-        if self.in_dims != self.out_dims:
+        proj_kb = None
+        if fold:
+            # same 'proj' param tree; columns ride the qkv dot inside attn
+            proj_kb = _DenseParams(
+                self.in_dims, self.out_dims, name="proj"
+            )()
+        elif self.in_dims != self.out_dims:
             if pad_in or pad_out:
                 proj_k, proj_bias = _DenseParams(
                     self.in_dims, self.out_dims, name="proj"
@@ -897,15 +942,20 @@ class MultiScaleBlock(nn.Module):
             return y + mlp(norm2(y)), out_size
 
         sp_n, cls_n = norm1(sp), norm1(cls)
-        attn_sp, attn_cls, out_size = attn(sp_n, in_size, cls_n)
-        if proj is None:
-            skip_sp = sp
-        elif self.tokens3d and self.flat_dots:
-            Bp, Lp, Cp = sp_n.shape
-            skip_sp = proj(sp_n.reshape(Bp * Lp, Cp)).reshape(Bp, Lp, -1)
+        if fold:
+            attn_sp, attn_cls, out_size, skip_sp, skip_cls = attn(
+                sp_n, in_size, cls_n, proj_kb
+            )
         else:
-            skip_sp = proj(sp_n)
-        skip_cls = proj(cls_n) if proj is not None else cls
+            attn_sp, attn_cls, out_size = attn(sp_n, in_size, cls_n)
+            if proj is None:
+                skip_sp = sp
+            elif self.tokens3d and self.flat_dots:
+                Bp, Lp, Cp = sp_n.shape
+                skip_sp = proj(sp_n.reshape(Bp * Lp, Cp)).reshape(Bp, Lp, -1)
+            else:
+                skip_sp = proj(sp_n)
+            skip_cls = proj(cls_n) if proj is not None else cls
         if strided:
             kernel = tuple(s + 1 if s > 1 else s for s in self.stride_q)
             if self.tokens3d:
@@ -1059,6 +1109,7 @@ class MViT(nn.Module):
                 out_phys=phys(plan["out_dims"]) if lane_pad else None,
                 tokens3d=tokens3d,
                 flat_dots=cfg.flat_dots,
+                fold_proj=cfg.fold_proj,
                 act=gelu_tanh if cfg.gelu == "tanh" else gelu_exact,
                 name=f"blocks_{i}",
             )(tokens, size)

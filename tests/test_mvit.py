@@ -199,6 +199,37 @@ def test_tokens3d_matches_5d_stream():
         )
 
 
+def test_fold_proj_matches_standalone_proj():
+    """fold_proj (skip projection columns riding the qkv dot) computes the
+    SAME function with the SAME param tree as the standalone proj dot."""
+    import dataclasses
+
+    import jax
+
+    from diff_sal_tpu.config import MViTConfig
+    from diff_sal_tpu.models.mvit import MViT
+
+    cfg = MViTConfig.tiny(spatial_size=(32, 48), cls_stream=True)
+    m1 = MViT(dataclasses.replace(cfg, fold_proj=False))
+    m2 = MViT(dataclasses.replace(cfg, fold_proj=True))
+
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.normal(rng, (2, 16, 32, 48, 3)) * 0.5
+    v1 = m1.init(rng, x)
+    v2 = m2.init(rng, x)
+    assert jax.tree.map(lambda a: a.shape, v1) == jax.tree.map(
+        lambda a: a.shape, v2
+    )
+    out1 = m1.apply(v1, x)
+    out2 = m2.apply(v1, x)  # same params through the folded path
+    for a, b in zip(out1, out2):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5,
+            err_msg="fold_proj output diverged from standalone proj",
+        )
+
+
 def test_cls_stream_pallas_kernel_matches_reference_path():
     """cls_stream + use_pallas (v2 kernel, interpret on CPU) equals the
     cls_stream XLA-einsum path."""
