@@ -198,8 +198,17 @@ class MViTConfig:
     # relayout copy at block 1 (HLO backend_config evidence, docs/PERF.md).
     # cls-stream + tokens3d only; same param tree.
     fold_proj: bool = False
+    # attention-pool lowering: "conv" (XLA depthwise conv) | "pallas"
+    # (native-layout stencil kernel, ops/pool.py — kills the
+    # batch-in-sublane relayout copies the conv emitter forces around
+    # every pool; docs/PERF.md round 3). cls_stream+tokens3d only.
+    pool_mode: str = "conv"
     # stem lowering: conv | patches | s2d | s2d_staged (see PatchEmbed3D)
     stem_mode: str = "s2d_staged"
+    # s2d stems: fold the window-alignment pad into the block-space conv's
+    # own padding instead of materializing a padded copy of the input
+    # (pad.0.clone was 1.6 ms/iter at B=8; docs/PERF.md round 3)
+    stem_fold_pad: bool = True
     # rematerialize each block in the backward pass (trade FLOPs for HBM) —
     # enables the reference's 4x(batch 12) recipe on a single 16 GB chip
     remat: bool = False

@@ -23,6 +23,8 @@ Shape trace for rgb (B, 16, 224, 384, 3):
 
 from __future__ import annotations
 
+import functools
+
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -66,6 +68,9 @@ class _PatchProjection(nn.Module):
     # physical output width (lane padding): kernel/bias are zero-padded from
     # embed_dims to out_phys inside the op; params stay at embed_dims
     out_phys: Optional[int] = None
+    # s2d modes: fold the alignment pad into the block-space conv padding
+    # instead of materializing a padded input copy (MViTConfig.stem_fold_pad)
+    fold_pad: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -125,12 +130,20 @@ class _PatchProjection(nn.Module):
             assert k <= 2 * s - 1 and p == k // 2, (k, s, p)
             assert x.shape[1 + i] % s == 0, (x.shape, strides)
 
-        # pad each spatial dim by one full stride on the left: windows then
-        # align to [block_o, block_o+1]
-        xp = jnp.pad(
-            x.astype(dt),
-            ((0, 0),) + tuple((s, 0) for s in strides) + ((0, 0),),
-        )
+        # the one-full-stride left pad that aligns windows to
+        # [block_o, block_o+1] is exactly ONE BLOCK of zeros after
+        # blockifying — so it can move into the conv's own padding below
+        # (padding=((1,0),...) in block space) instead of materializing a
+        # padded copy of the 66 MB input (pad.0.clone was 1.6 ms/iter at
+        # B=8, docs/PERF.md round 3). fold_pad=False keeps the explicit
+        # pad (the measured baseline variant).
+        if self.fold_pad:
+            xp = x.astype(dt)
+        else:
+            xp = jnp.pad(
+                x.astype(dt),
+                ((0, 0),) + tuple((s, 0) for s in strides) + ((0, 0),),
+            )
         T, H, W = xp.shape[1:4]
         st, sh, sw = strides
         bt, bh, bw = T // st, H // sh, W // sw
@@ -176,7 +189,8 @@ class _PatchProjection(nn.Module):
             x_s2d,
             k_s2d.astype(dt),
             window_strides=(1, 1, 1),
-            padding="VALID",
+            # fold_pad: the one-block left pad lives in the conv itself
+            padding=((1, 0),) * 3 if self.fold_pad else "VALID",
             dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
         )
         return out + bias.astype(dt)
@@ -197,6 +211,7 @@ class PatchEmbed3D(nn.Module):
     mode: str = "s2d"
     flatten: bool = True
     out_phys: Optional[int] = None  # lane-padded output width
+    fold_pad: bool = True  # see _PatchProjection.fold_pad
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -208,6 +223,7 @@ class PatchEmbed3D(nn.Module):
             dtype=self.dtype,
             mode=self.mode,
             out_phys=self.out_phys,
+            fold_pad=self.fold_pad,
             name="projection",
         )(x)
         out_size = x.shape[1:4]
@@ -350,6 +366,29 @@ def _fused_depthwise_pool(
     return out, out.shape[1:4]
 
 
+def _pallas_depthwise_pool(
+    x: jnp.ndarray,  # (B, T, Hh, Ww, n*heads*D) — channel-folded q/k/v
+    kernels: List[jnp.ndarray],  # per part, (kt, kh, kw, 1, D)
+    heads: int,
+    stride: Tuple[int, int, int],
+    dtype,
+):
+    """Same math as `_fused_depthwise_pool`, lowered through the
+    native-layout Pallas stencil (ops/pool.py:depthwise_pool3d) instead of
+    an XLA depthwise conv — the conv emitter's batch-in-sublane layout
+    preference forced full relayout copies of the qkv activations
+    (docs/PERF.md round 3). Requires the 128-padded head dim (D=128), i.e.
+    the cls-stream path."""
+    from diff_sal_tpu.ops.pool import depthwise_pool3d
+
+    kern = jnp.concatenate(
+        [jnp.tile(k[:, :, :, 0, :], (1, 1, 1, heads)) for k in kernels],
+        axis=-1,
+    ).astype(jnp.float32)
+    out = depthwise_pool3d(x.astype(dtype), kern, tuple(stride))
+    return out, out.shape[1:4]
+
+
 class MaxPoolSkip(nn.Module):
     """MaxPool3d on the residual path when the query is strided
     (reference mvit.py:748-763): kernel = stride+1 (where stride>1), padding
@@ -413,6 +452,8 @@ class MultiScaleAttention(nn.Module):
     tokens3d: bool = False
     # 2D (B*L, C) operands for the qkv/proj dots (see MViTConfig.flat_dots)
     flat_dots: bool = False
+    # "conv" | "pallas" attention-pool lowering (MViTConfig.pool_mode)
+    pool_mode: str = "conv"
 
     HD_PAD = 128  # padded head dim: one full lane tile
 
@@ -639,20 +680,30 @@ class MultiScaleAttention(nn.Module):
             # padded kernel opaque. Runtime cost: none (tiny constant work).
             return jax.lax.optimization_barrier(k)
 
+        if self.pool_mode == "pallas":
+            # native-layout stencil kernel (ops/pool.py): no 5D
+            # batch-in-sublane relayout copies around the pools
+            pool_fn = functools.partial(
+                _pallas_depthwise_pool, heads=H, dtype=dt
+            )
+        else:
+            pool_fn = functools.partial(
+                _fused_depthwise_pool, heads=H, dtype=dt
+            )
         if tuple(self.stride_q) == tuple(self.stride_kv):
-            pooled, q_shape = _fused_depthwise_pool(
+            pooled, q_shape = pool_fn(
                 qkv_sp, [pad_pool(pq()), pad_pool(pk_()), pad_pool(pv())],
-                H, self.stride_q, dt,
+                stride=self.stride_q,
             )
             k_shape = q_shape
             q_sp, k_sp, v_sp = jnp.split(pooled, 3, axis=-1)
         else:
-            q_sp, q_shape = _fused_depthwise_pool(
-                qkv_sp[..., :HD], [pad_pool(pq())], H, self.stride_q, dt
+            q_sp, q_shape = pool_fn(
+                qkv_sp[..., :HD], [pad_pool(pq())], stride=self.stride_q
             )
-            kv_sp, k_shape = _fused_depthwise_pool(
-                qkv_sp[..., HD:], [pad_pool(pk_()), pad_pool(pv())], H,
-                self.stride_kv, dt,
+            kv_sp, k_shape = pool_fn(
+                qkv_sp[..., HD:], [pad_pool(pk_()), pad_pool(pv())],
+                stride=self.stride_kv,
             )
             k_sp, v_sp = jnp.split(kv_sp, 2, axis=-1)
 
@@ -830,6 +881,8 @@ class MultiScaleBlock(nn.Module):
     flat_dots: bool = False
     # skip projection rides the qkv dot (see MViTConfig.fold_proj)
     fold_proj: bool = False
+    # "conv" | "pallas" attention-pool lowering (MViTConfig.pool_mode)
+    pool_mode: str = "conv"
     # MLP activation (MViTConfig.gelu)
     act: Callable = gelu_exact
 
@@ -863,6 +916,7 @@ class MultiScaleBlock(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             cls_stream=self.cls_stream,
+            pool_mode=self.pool_mode,
             in_dims=self.in_dims if pad_in else None,
             out_phys=out_phys if pad_out else None,
             tokens3d=self.tokens3d,
@@ -1057,6 +1111,7 @@ class MViT(nn.Module):
             cfg.embed_dims, dtype=self.dtype, mode=cfg.stem_mode,
             flatten=(not cls_stream) or tokens3d,
             out_phys=phys(cfg.embed_dims) if lane_pad else None,
+            fold_pad=cfg.stem_fold_pad,
             name="patch_embed",
         )(x)
 
@@ -1110,6 +1165,8 @@ class MViT(nn.Module):
                 tokens3d=tokens3d,
                 flat_dots=cfg.flat_dots,
                 fold_proj=cfg.fold_proj,
+                pool_mode=cfg.pool_mode if cls_stream and tokens3d
+                else "conv",
                 act=gelu_tanh if cfg.gelu == "tanh" else gelu_exact,
                 name=f"blocks_{i}",
             )(tokens, size)

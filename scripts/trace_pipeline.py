@@ -4,6 +4,7 @@
     python tools/analyze_trace.py <outdir> 40
 """
 
+import ast
 import dataclasses
 import sys
 import time
@@ -29,8 +30,16 @@ def main():
     cfg = dataclasses.replace(
         ModelConfig.audio_visual(), compute_dtype="bfloat16"
     )
+    ov = {}
+    if len(sys.argv) > 3:
+        for part in sys.argv[3].split(","):
+            k, v = part.split("=", 1)
+            ov[k.strip()] = ast.literal_eval(v.strip())
     cfg = dataclasses.replace(
-        cfg, visual=dataclasses.replace(cfg.visual, use_pallas_attention=True)
+        cfg,
+        visual=dataclasses.replace(
+            cfg.visual, use_pallas_attention=True, **ov
+        ),
     )
     model = VideoSaliencyModel(cfg)
     key = jax.random.PRNGKey(0)

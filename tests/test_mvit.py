@@ -86,6 +86,9 @@ def test_patch_embed_modes_equal():
     m_pat = PatchEmbed3D(32, mode="patches")
     m_s2d = PatchEmbed3D(32, mode="s2d")
     m_stg = PatchEmbed3D(32, mode="s2d_staged")
+    # explicit-pad variants (stem_fold_pad=False) must agree too
+    m_s2d_ep = PatchEmbed3D(32, mode="s2d", fold_pad=False)
+    m_stg_ep = PatchEmbed3D(32, mode="s2d_staged", fold_pad=False)
     v = m_conv.init(jax.random.PRNGKey(1), x)
     o_conv, s_conv = m_conv.apply(v, x)
     o_pat, s_pat = m_pat.apply(v, x)
@@ -95,6 +98,12 @@ def test_patch_embed_modes_equal():
     np.testing.assert_allclose(np.asarray(o_pat), np.asarray(o_conv), atol=2e-5)
     np.testing.assert_allclose(np.asarray(o_s2d), np.asarray(o_conv), atol=2e-5)
     np.testing.assert_allclose(np.asarray(o_stg), np.asarray(o_conv), atol=2e-5)
+    for m_ep, o_fold in ((m_s2d_ep, o_s2d), (m_stg_ep, o_stg)):
+        o_ep, s_ep = m_ep.apply(v, x)
+        assert s_ep == s_conv
+        # fold_pad moves the alignment pad into the conv padding — bitwise
+        # identical math, so exact equality
+        np.testing.assert_array_equal(np.asarray(o_ep), np.asarray(o_fold))
 
 
 def test_cls_stream_matches_token_path():
@@ -251,3 +260,61 @@ def test_cls_stream_pallas_kernel_matches_reference_path():
     out_pal = m_pal.apply(v, x)
     for a, b in zip(out_ref, out_pal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_pallas_pool_matches_conv_pool():
+    """pool_mode='pallas' (native-layout stencil, ops/pool.py) equals the
+    XLA depthwise-conv pools through the full tiny MViT, fwd AND grads.
+
+    Tolerance note: XLA's f32 CPU conv itself deviates ~5e-3 from an exact
+    f64 stencil at stride 4/8 (internal fast path); the Pallas kernel is
+    exact vs numpy (ops/pool.py docstring), so the comparison tolerance
+    absorbs the CONV's error, not the kernel's."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from diff_sal_tpu.config import MViTConfig
+    from diff_sal_tpu.models.mvit import MViT
+
+    cfg = MViTConfig.tiny(spatial_size=(32, 48), cls_stream=True)
+    m1 = MViT(dataclasses.replace(cfg, pool_mode="conv"))
+    m2 = MViT(dataclasses.replace(cfg, pool_mode="pallas"))
+
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (2, 16, 32, 48, 3)) * 0.5
+    v = m1.init(rng, x)
+    assert (
+        jax.tree.map(lambda a: a.shape, v)
+        == jax.tree.map(lambda a: a.shape, m2.init(rng, x))
+    )
+    out1 = m1.apply(v, x)
+    out2 = m2.apply(v, x)
+    for a, b in zip(out1, out2):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+    # gradients flow (custom_vjp: conv-path backward) and match the conv
+    # path's gradients
+    def loss(m, v):
+        return sum(jnp.sum(o**2) for o in m.apply(v, x))
+
+    g1 = jax.grad(lambda v: loss(m1, v))(v)
+    g2 = jax.grad(lambda v: loss(m2, v))(v)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = {
+        jax.tree_util.keystr(k): a
+        for k, a in jax.tree_util.tree_leaves_with_path(g2)
+    }
+    for k, a in flat1:
+        b = flat2[jax.tree_util.keystr(k)]
+        a, b = np.asarray(a), np.asarray(b)
+        # leaf-scale tolerance: the two paths differ by forward rounding
+        # (XLA's f32 CPU conv fast path is itself ~5e-3 off) amplified
+        # through the network, so elementwise atol is meaningless
+        tol = 2e-2 * (np.abs(b).max() + 1.0)
+        np.testing.assert_allclose(
+            a, b, atol=tol,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}",
+        )
