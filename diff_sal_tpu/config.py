@@ -203,6 +203,13 @@ class MViTConfig:
     # batch-in-sublane relayout copies the conv emitter forces around
     # every pool; docs/PERF.md round 3). cls_stream+tokens3d only.
     pool_mode: str = "conv"
+    # pool-through-projection: at blocks whose kv stride has s_h*s_w >= 16
+    # (blocks 0-2 of the small plan), compute spatial k/v as ONE dense
+    # strided conv with kernel p (x) W_kv instead of Dense -> depthwise
+    # pool — the full-resolution k/v tokens (176-352 MB at B=8) are never
+    # materialized. Same param tree; cls_stream+tokens3d only.
+    # Measured 1.032x inference A/B at B=8 (docs/PERF.md round 3).
+    fuse_kv: bool = True
     # stem lowering: conv | patches | s2d | s2d_staged (see PatchEmbed3D)
     stem_mode: str = "s2d_staged"
     # s2d stems: fold the window-alignment pad into the block-space conv's

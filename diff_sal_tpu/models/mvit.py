@@ -454,6 +454,9 @@ class MultiScaleAttention(nn.Module):
     flat_dots: bool = False
     # "conv" | "pallas" attention-pool lowering (MViTConfig.pool_mode)
     pool_mode: str = "conv"
+    # fuse the k/v projection THROUGH the attention pool at large kv
+    # strides (see MViTConfig.fuse_kv)
+    fuse_kv: bool = False
 
     HD_PAD = 128  # padded head dim: one full lane tile
 
@@ -635,19 +638,36 @@ class MultiScaleAttention(nn.Module):
                 [kp, jnp.pad(sk_k, ((0, in_phys - c_in), (0, 0))).astype(dt)],
                 axis=1,
             )
+        # pool-through-projection (MViTConfig.fuse_kv): at kv strides with
+        # s_h*s_w >= 16 the spatial k/v tokens are computed as ONE dense
+        # strided conv with kernel p (x) W instead of dot -> depthwise pool
+        # (both linear: pool(Wx) == conv_{p(x)W}(x)); the full-resolution
+        # k/v intermediate (176-352 MB at blocks 0-1, B=8) is never
+        # materialized and its pool-conv relayout copies disappear. At
+        # stride 8 the conv is also FEWER flops than the dot (27/64).
+        fuse_kv = (
+            self.fuse_kv
+            and self.tokens3d
+            and skip_kb is None
+            and tuple(self.stride_q) != tuple(self.stride_kv)
+            and int(np.prod(self.stride_kv)) >= 16
+        )
         sp_mat = sp.astype(dt)
         if self.tokens3d and self.flat_dots:
             # 2D operand -> plain MXU matmul emission (MViTConfig.flat_dots)
             sp_mat = sp_mat.reshape(-1, in_phys)
-        qkv_sp = sp_mat @ kp
+        # under fuse_kv the token dot computes only the q columns; cls rows
+        # (unpooled) always use the full projection
+        qkv_sp = sp_mat @ (kp[:, :HD] if fuse_kv else kp)
         qkv_cls = cls.astype(dt) @ kp
+        bp = None
         if qkv_b is not None:
             bp = jnp.pad(
                 qkv_b.reshape(3, H, hd), ((0, 0), (0, 0), (0, D - hd))
             ).reshape(-1).astype(dt)
             if c_skip:
                 bp = jnp.concatenate([bp, sk_b.astype(dt)])
-            qkv_sp = qkv_sp + bp
+            qkv_sp = qkv_sp + (bp[:HD] if fuse_kv else bp)
             qkv_cls = qkv_cls + bp
         elif c_skip and sk_b is not None:
             sb = jnp.concatenate(
@@ -690,7 +710,45 @@ class MultiScaleAttention(nn.Module):
             pool_fn = functools.partial(
                 _fused_depthwise_pool, heads=H, dtype=dt
             )
-        if tuple(self.stride_q) == tuple(self.stride_kv):
+        if fuse_kv:
+            # qkv_sp carries ONLY the q columns here; k/v come from the
+            # fused dense conv below
+            q_sp, q_shape = pool_fn(
+                qkv_sp, [pad_pool(pq())], stride=self.stride_q
+            )
+            # fused kernel p (x) W: (kt,kh,kw,in_phys,2HD). The pool kernel
+            # is shared across heads (like _fused_depthwise_pool); padded
+            # lanes stay zero because kp's columns are zero there.
+            pcat = jnp.concatenate(
+                [
+                    jnp.tile(pad_pool(pk_())[:, :, :, 0, :], (1, 1, 1, H)),
+                    jnp.tile(pad_pool(pv())[:, :, :, 0, :], (1, 1, 1, H)),
+                ],
+                axis=-1,
+            ).astype(dt)
+            kk = pcat[:, :, :, None, :] * kp[:, HD:][None, None, None]
+            kv_sp = jax.lax.conv_general_dilated(
+                sp.astype(dt).reshape(B, T, Hh, Ww, in_phys),
+                kk,
+                window_strides=self.stride_kv,
+                padding=[(k // 2, k // 2) for k in self.pool_kernel],
+                dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+            )
+            if bp is not None:
+                # the pre-pool bias becomes an edge-attenuated map: pool a
+                # batch-1 broadcast of it with the SAME pool kernels (exact
+                # zero-padding semantics, 1/B the original pool's cost)
+                bias_map = jnp.broadcast_to(
+                    bp[HD:], (1, T, Hh, Ww, 2 * HD)
+                ).astype(dt)
+                bias_pooled, _ = pool_fn(
+                    bias_map, [pad_pool(pk_()), pad_pool(pv())],
+                    stride=self.stride_kv,
+                )
+                kv_sp = kv_sp + bias_pooled
+            k_shape = kv_sp.shape[1:4]
+            k_sp, v_sp = jnp.split(kv_sp, 2, axis=-1)
+        elif tuple(self.stride_q) == tuple(self.stride_kv):
             pooled, q_shape = pool_fn(
                 qkv_sp, [pad_pool(pq()), pad_pool(pk_()), pad_pool(pv())],
                 stride=self.stride_q,
@@ -883,6 +941,8 @@ class MultiScaleBlock(nn.Module):
     fold_proj: bool = False
     # "conv" | "pallas" attention-pool lowering (MViTConfig.pool_mode)
     pool_mode: str = "conv"
+    # fuse k/v projection through the pool at large kv strides
+    fuse_kv: bool = False
     # MLP activation (MViTConfig.gelu)
     act: Callable = gelu_exact
 
@@ -917,6 +977,7 @@ class MultiScaleBlock(nn.Module):
             use_pallas=self.use_pallas,
             cls_stream=self.cls_stream,
             pool_mode=self.pool_mode,
+            fuse_kv=self.fuse_kv,
             in_dims=self.in_dims if pad_in else None,
             out_phys=out_phys if pad_out else None,
             tokens3d=self.tokens3d,
@@ -1167,6 +1228,7 @@ class MViT(nn.Module):
                 fold_proj=cfg.fold_proj,
                 pool_mode=cfg.pool_mode if cls_stream and tokens3d
                 else "conv",
+                fuse_kv=cfg.fuse_kv and cls_stream and tokens3d,
                 act=gelu_tanh if cfg.gelu == "tanh" else gelu_exact,
                 name=f"blocks_{i}",
             )(tokens, size)

@@ -318,3 +318,128 @@ def test_pallas_pool_matches_conv_pool():
             a, b, atol=tol,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}",
         )
+
+
+def test_fuse_kv_exact_f64():
+    """fuse_kv (pool-through-projection: spatial k/v as one dense strided
+    conv with kernel p (x) W_kv, MViTConfig.fuse_kv) is mathematically
+    IDENTICAL to the Dense -> depthwise-pool path — in float64 one
+    MultiScaleAttention with differing q/kv strides matches fwd AND all
+    param grads to ~1e-12 (pure reassociation of an exact rewrite)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diff_sal_tpu.models.mvit import MultiScaleAttention
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        B, T, Hh, Ww, C = 2, 4, 16, 24, 96
+        kw = dict(
+            out_dims=C, num_heads=1,
+            stride_q=(1, 2, 2), stride_kv=(1, 8, 8),
+            cls_stream=True, tokens3d=True, flat_dots=True,
+            dtype=jnp.float64,
+        )
+        m1 = MultiScaleAttention(fuse_kv=False, **kw)
+        m2 = MultiScaleAttention(fuse_kv=True, **kw)
+
+        rng = jax.random.PRNGKey(0)
+        sp = jax.random.normal(rng, (B, T * Hh * Ww, C), dtype=jnp.float64)
+        cls = jax.random.normal(
+            jax.random.fold_in(rng, 1), (B, 1, C), jnp.float64
+        )
+        v = m1.init(rng, sp, (T, Hh, Ww), cls)
+        # nontrivial pool kernels + biases (zeros-init would hide bugs)
+        leaves, treedef = jax.tree_util.tree_flatten(
+            jax.tree.map(lambda a: a.astype(jnp.float64), v)
+        )
+        leaves = [
+            jax.random.normal(
+                jax.random.fold_in(rng, 100 + i), l.shape, jnp.float64
+            ) * 0.3
+            for i, l in enumerate(leaves)
+        ]
+        v = jax.tree_util.tree_unflatten(treedef, leaves)
+
+        def fwd(m, v):
+            return m.apply(v, sp, (T, Hh, Ww), cls)
+
+        for a, b in zip(
+            jax.tree.leaves(fwd(m1, v)), jax.tree.leaves(fwd(m2, v))
+        ):
+            if hasattr(a, "shape"):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=1e-10
+                )
+
+        def loss(m, v):
+            return sum(
+                jnp.sum(o**2)
+                for o in jax.tree.leaves(fwd(m, v))
+                if hasattr(o, "ndim") and o.ndim
+            )
+
+        g1 = jax.grad(lambda v: loss(m1, v))(v)
+        g2 = jax.grad(lambda v: loss(m2, v))(v)
+        for (k, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g1),
+            jax.tree_util.tree_leaves_with_path(g2),
+        ):
+            a, b = np.asarray(a), np.asarray(b)
+            np.testing.assert_allclose(
+                a, b, atol=1e-8 * (np.abs(b).max() + 1.0),
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}",
+            )
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_fuse_kv_matches_pool_path():
+    """fuse_kv through the full tiny MViT with the SAME param tree: f32
+    integration check. Exactness is proven by test_fuse_kv_exact_f64;
+    here grads are compared with a reassociation-noise tolerance (the
+    fused conv reorders ~50k heavily-cancelling bias-grad terms — observed
+    f32 drift up to ~1e-2 relative to the leaf max, ~1e-12 in f64)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from diff_sal_tpu.config import MViTConfig
+    from diff_sal_tpu.models.mvit import MViT
+
+    cfg = MViTConfig.tiny(spatial_size=(32, 48), cls_stream=True)
+    m1 = MViT(dataclasses.replace(cfg, fuse_kv=False))
+    m2 = MViT(dataclasses.replace(cfg, fuse_kv=True))
+
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.normal(rng, (2, 16, 32, 48, 3)) * 0.5
+    v = m1.init(rng, x)
+    assert (
+        jax.tree.map(lambda a: a.shape, v)
+        == jax.tree.map(lambda a: a.shape, m2.init(rng, x))
+    )
+    out1 = m1.apply(v, x)
+    out2 = m2.apply(v, x)
+    for a, b in zip(out1, out2):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    def loss(m, v):
+        return sum(jnp.sum(o**2) for o in m.apply(v, x))
+
+    g1 = jax.grad(lambda v: loss(m1, v))(v)
+    g2 = jax.grad(lambda v: loss(m2, v))(v)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = {
+        jax.tree_util.keystr(k): a
+        for k, a in jax.tree_util.tree_leaves_with_path(g2)
+    }
+    for k, a in flat1:
+        b = flat2[jax.tree_util.keystr(k)]
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 3e-2 * (np.abs(b).max() + 0.1)
+        np.testing.assert_allclose(
+            a, b, atol=tol,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}",
+        )
