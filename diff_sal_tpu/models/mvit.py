@@ -366,6 +366,61 @@ def _fused_depthwise_pool(
     return out, out.shape[1:4]
 
 
+def _stencil_depthwise_pool(
+    x: jnp.ndarray,  # (B, T, Hh, Ww, n*heads*hd) — channel-folded q/k/v
+    kernels: List[jnp.ndarray],  # per part, (kt, kh, kw, 1, hd)
+    heads: int,
+    stride: Tuple[int, int, int],
+    dtype,
+):
+    """Same math as `_fused_depthwise_pool`, written as kt*kh*kw shifted
+    multiply-adds on the NATIVE channel-minor layout (f32 accumulator,
+    matching the conv's internal accumulation) instead of a depthwise
+    conv. Motivation: XLA's conv emitter prefers batch-in-sublane
+    operand layouts, forcing a full relayout copy of every block's qkv
+    tensor into the pool (xplane copy.22xx ops, ~0.2 ms x 10 stage-3
+    blocks at B=8; docs/PERF.md round 3). The shifted slices read the
+    dot-output layout directly and fuse into one output loop fusion."""
+    kern = jnp.concatenate(
+        [jnp.tile(k[:, :, :, 0, :], (1, 1, 1, heads)) for k in kernels],
+        axis=-1,
+    ).astype(jnp.float32)
+    kt, kh, kw = kern.shape[:3]
+    st, sh, sw = stride
+    B, T, Hh, Ww, C = x.shape
+    xp = jnp.pad(
+        x.astype(dtype),
+        (
+            (0, 0),
+            (kt // 2, kt // 2),
+            (kh // 2, kh // 2),
+            (kw // 2, kw // 2),
+            (0, 0),
+        ),
+    )
+    To = (T - 1) // st + 1
+    Ho = (Hh - 1) // sh + 1
+    Wo = (Ww - 1) // sw + 1
+    y = jnp.zeros((B, To, Ho, Wo, C), jnp.float32)
+    for i in range(kt):
+        for j in range(kh):
+            for l in range(kw):
+                sl = jax.lax.slice(
+                    xp,
+                    (0, i, j, l, 0),
+                    (
+                        B,
+                        i + (To - 1) * st + 1,
+                        j + (Ho - 1) * sh + 1,
+                        l + (Wo - 1) * sw + 1,
+                        C,
+                    ),
+                    (1, st, sh, sw, 1),
+                )
+                y = y + sl.astype(jnp.float32) * kern[i, j, l]
+    return y.astype(dtype), (To, Ho, Wo)
+
+
 def _pallas_depthwise_pool(
     x: jnp.ndarray,  # (B, T, Hh, Ww, n*heads*D) — channel-folded q/k/v
     kernels: List[jnp.ndarray],  # per part, (kt, kh, kw, 1, D)
@@ -452,7 +507,7 @@ class MultiScaleAttention(nn.Module):
     tokens3d: bool = False
     # 2D (B*L, C) operands for the qkv/proj dots (see MViTConfig.flat_dots)
     flat_dots: bool = False
-    # "conv" | "pallas" attention-pool lowering (MViTConfig.pool_mode)
+    # "conv" | "pallas" | "stencil" attention-pool lowering (MViTConfig.pool_mode)
     pool_mode: str = "conv"
     # fuse the k/v projection THROUGH the attention pool at large kv
     # strides (see MViTConfig.fuse_kv)
@@ -706,6 +761,11 @@ class MultiScaleAttention(nn.Module):
             pool_fn = functools.partial(
                 _pallas_depthwise_pool, heads=H, dtype=dt
             )
+        elif self.pool_mode == "stencil":
+            # shifted multiply-adds in plain XLA on the native layout
+            pool_fn = functools.partial(
+                _stencil_depthwise_pool, heads=H, dtype=dt
+            )
         else:
             pool_fn = functools.partial(
                 _fused_depthwise_pool, heads=H, dtype=dt
@@ -939,7 +999,7 @@ class MultiScaleBlock(nn.Module):
     flat_dots: bool = False
     # skip projection rides the qkv dot (see MViTConfig.fold_proj)
     fold_proj: bool = False
-    # "conv" | "pallas" attention-pool lowering (MViTConfig.pool_mode)
+    # "conv" | "pallas" | "stencil" attention-pool lowering (MViTConfig.pool_mode)
     pool_mode: str = "conv"
     # fuse k/v projection through the pool at large kv strides
     fuse_kv: bool = False

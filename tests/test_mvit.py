@@ -443,3 +443,34 @@ def test_fuse_kv_matches_pool_path():
             a, b, atol=tol,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}",
         )
+
+
+def test_stencil_pool_matches_conv_pool():
+    """pool_mode="stencil" (_stencil_depthwise_pool: shifted multiply-adds
+    on the native layout) equals the depthwise-conv pool for stride 1 and
+    (1,2,2). Measured 0.507x on TPU (docs/PERF.md round 3) — kept only as
+    an equality-tested null-result variant."""
+    import jax
+    import jax.numpy as jnp
+
+    from diff_sal_tpu.models.mvit import (_fused_depthwise_pool,
+                                          _stencil_depthwise_pool)
+
+    key = jax.random.PRNGKey(0)
+    for stride in [(1, 1, 1), (1, 2, 2)]:
+        x = jax.random.normal(key, (2, 4, 8, 12, 2 * 3 * 16))
+        ks = [
+            jax.random.normal(jax.random.fold_in(key, i), (3, 3, 3, 1, 16))
+            * 0.3
+            for i in range(2)
+        ]
+        a, sa = _fused_depthwise_pool(
+            x, ks, heads=3, stride=stride, dtype=jnp.float32
+        )
+        b, sb = _stencil_depthwise_pool(
+            x, ks, heads=3, stride=stride, dtype=jnp.float32
+        )
+        assert sa == sb
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        )
