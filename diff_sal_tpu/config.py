@@ -210,6 +210,10 @@ class MViTConfig:
     # materialized. Same param tree; cls_stream+tokens3d only.
     # Measured 1.032x inference A/B at B=8 (docs/PERF.md round 3).
     fuse_kv: bool = True
+    # attention-kernel softmax formulation: "exp2" (hardware exp2 +
+    # post-dot row normalization — the kernel was VPU-bound on the f32
+    # softmax; same math to fp rounding) | "div" (classic softmax)
+    attn_softmax: str = "exp2"
     # stem lowering: conv | patches | s2d | s2d_staged (see PatchEmbed3D)
     stem_mode: str = "s2d_staged"
     # s2d stems: fold the window-alignment pad into the block-space conv's

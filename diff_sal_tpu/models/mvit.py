@@ -103,6 +103,8 @@ class _PatchProjection(nn.Module):
             return self._s2d(x, kernel, bias, dt)
         if self.mode == "s2d_staged":
             return self._s2d(x, kernel, bias, dt, staged=True)
+        if self.mode == "wfold":
+            return self._wfold(x, kernel, bias, dt)
         out = jax.lax.conv_general_dilated(
             x.astype(dt),
             kernel.astype(dt),
@@ -191,6 +193,57 @@ class _PatchProjection(nn.Module):
             window_strides=(1, 1, 1),
             # fold_pad: the one-block left pad lives in the conv itself
             padding=((1, 0),) * 3 if self.fold_pad else "VALID",
+            dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+        )
+        return out + bias.astype(dt)
+
+    def _wfold(self, x, kernel, bias, dt):
+        """Transpose-free lowering: fold ONLY the minor (W) axis into lanes
+        — a pure trailing reshape, free in the native layout — and run the
+        stem as a dense (kt, kh, 2) conv over (T, H, W/sw) with sw*in_c
+        input channels. The W window [sw*o - p .. sw*o + p] spans exactly
+        the two lane blocks o-1 and o (kw <= 2*sw - 1), so the folded
+        kernel has W-extent 2 with zero weights at the unused phases
+        (kt*kh*2*sw*in_c / (kt*kh*kw*in_c) = 8/7 flop overhead for the
+        (3,7,7)/(2,4,4) stem). Unlike s2d there are no block transposes of
+        the 66 MB input and no alignment-pad copy at all (the T/H/W pads
+        ride the conv's own padding): the s2d_staged path's three
+        transposes profiled ~2 ms/iter at B=8 (xplane copy.2136/2137,
+        docs/PERF.md round 3)."""
+        B = x.shape[0]
+        in_c = x.shape[-1]
+        kt, kh, kw = self.kernel_size
+        st, sh, sw = self.stride
+        pt, ph, pw = self.padding
+        assert kw <= 2 * sw - 1 and pw == kw // 2, (kw, sw, pw)
+        W = x.shape[3]
+        assert W % sw == 0, (W, sw)
+        bw = W // sw
+        xw = x.astype(dt).reshape(B, x.shape[1], x.shape[2], bw, sw * in_c)
+        # folded kernel (kt, kh, 2, sw*in_c, O):
+        #   block 0 (left neighbor): phase q maps to dw = q - (sw - pw)
+        #   block 1 (own block):     phase q maps to dw = q + pw
+        emb = kernel.shape[-1]
+        left = jnp.concatenate(
+            [
+                jnp.zeros((kt, kh, sw - pw, in_c, emb), kernel.dtype),
+                kernel[:, :, : pw],
+            ],
+            axis=2,
+        ).reshape(kt, kh, 1, sw * in_c, emb)
+        right = jnp.concatenate(
+            [
+                kernel[:, :, pw:],
+                jnp.zeros((kt, kh, sw - (kw - pw), in_c, emb), kernel.dtype),
+            ],
+            axis=2,
+        ).reshape(kt, kh, 1, sw * in_c, emb)
+        k_fold = jnp.concatenate([left, right], axis=2)
+        out = jax.lax.conv_general_dilated(
+            xw,
+            k_fold.astype(dt),
+            window_strides=(st, sh, 1),
+            padding=[(pt, pt), (ph, ph), (1, 0)],
             dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
         )
         return out + bias.astype(dt)
@@ -512,6 +565,8 @@ class MultiScaleAttention(nn.Module):
     # fuse the k/v projection THROUGH the attention pool at large kv
     # strides (see MViTConfig.fuse_kv)
     fuse_kv: bool = False
+    # "exp2" | "div" kernel softmax formulation (MViTConfig.attn_softmax)
+    softmax_mode: str = "exp2"
 
     HD_PAD = 128  # padded head dim: one full lane tile
 
@@ -900,7 +955,7 @@ class MultiScaleAttention(nn.Module):
         )
         out2 = attn_fn(
             q2, k2, v2, rel, (kt, kh, kw), H, scale, None,
-            self.residual_pooling,
+            self.residual_pooling, None, self.softmax_mode,
         )  # (B, Lq, HD)
 
         # cls query row: full attention over [cls | pooled kv], zero bias,
@@ -1003,6 +1058,8 @@ class MultiScaleBlock(nn.Module):
     pool_mode: str = "conv"
     # fuse k/v projection through the pool at large kv strides
     fuse_kv: bool = False
+    # "exp2" | "div" kernel softmax formulation (MViTConfig.attn_softmax)
+    softmax_mode: str = "exp2"
     # MLP activation (MViTConfig.gelu)
     act: Callable = gelu_exact
 
@@ -1038,6 +1095,7 @@ class MultiScaleBlock(nn.Module):
             cls_stream=self.cls_stream,
             pool_mode=self.pool_mode,
             fuse_kv=self.fuse_kv,
+            softmax_mode=self.softmax_mode,
             in_dims=self.in_dims if pad_in else None,
             out_phys=out_phys if pad_out else None,
             tokens3d=self.tokens3d,
@@ -1289,6 +1347,7 @@ class MViT(nn.Module):
                 pool_mode=cfg.pool_mode if cls_stream and tokens3d
                 else "conv",
                 fuse_kv=cfg.fuse_kv and cls_stream and tokens3d,
+                softmax_mode=cfg.attn_softmax,
                 act=gelu_tanh if cfg.gelu == "tanh" else gelu_exact,
                 name=f"blocks_{i}",
             )(tokens, size)

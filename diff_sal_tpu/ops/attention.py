@@ -419,6 +419,7 @@ def reference_bias_attention_v2(
     interpret=None,  # unused; signature-compatible with the kernel
     residual: bool = False,
     out_dtype=None,
+    softmax_mode: str = "exp2",  # unused; signature-compatible
 ) -> jnp.ndarray:
     """XLA-einsum formulation of the v2 packed-layout attention — the
     non-Pallas fallback (CPU tests, ablation) and the semantic reference
@@ -461,8 +462,11 @@ def reference_bias_attention_v2(
     return out
 
 
+LOG2E = 1.4426950408889634
+
+
 def _attn_v2_kernel(q_ref, k_ref, v_ref, rel_ref, e_ref, mask_ref, o_ref, *,
-                    scale: float, residual: bool):
+                    scale: float, residual: bool, softmax_mode: str):
     q = q_ref[0]  # (Tq, D) input dtype
     k = k_ref[0]  # (Lk_pad, D)
     scores = jax.lax.dot_general(
@@ -476,16 +480,30 @@ def _attn_v2_kernel(q_ref, k_ref, v_ref, rel_ref, e_ref, mask_ref, o_ref, *,
     # entries — same values as the old f32 cast path
     bias = jnp.dot(rel_ref[0], e_ref[...].astype(rel_ref.dtype),
                    preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(scores + bias + mask_ref[...], axis=-1)
-    out = jnp.dot(probs.astype(q.dtype), v_ref[0],
-                  preferred_element_type=jnp.float32)
+    s = scores + bias + mask_ref[...]
+    if softmax_mode == "exp2":
+        # VPU-lean softmax: exp2 instead of exp (the hardware approximates
+        # exp2 directly; exp lowers to a longer chain) and the row
+        # normalization deferred PAST the pv dot — a (Tq, D) multiply
+        # instead of a (Tq, Lk_pad) divide. The kernel was VPU-bound: at
+        # block 1 the f32 softmax over (Tq, 2816) costs more than the
+        # kernel's three MXU dots combined (docs/PERF.md round 3).
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp2((s - m) * LOG2E)  # unnormalized, <= 1.0
+        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        out = jnp.dot(e.astype(q.dtype), v_ref[0],
+                      preferred_element_type=jnp.float32) * r
+    else:
+        probs = jax.nn.softmax(s, axis=-1)
+        out = jnp.dot(probs.astype(q.dtype), v_ref[0],
+                      preferred_element_type=jnp.float32)
     if residual:
         # residual pooling over every row — q carries no cls row in v2
         out = out + q.astype(jnp.float32)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def fused_bias_attention_v2(
     q: jnp.ndarray,  # (B, Lq, H*D) — spatial tokens only, D = 128-padded hd
     k: jnp.ndarray,  # (B, Lk, H*D) — cls at row 0
@@ -497,11 +515,15 @@ def fused_bias_attention_v2(
     interpret: bool = None,
     residual: bool = False,
     out_dtype=None,
+    softmax_mode: str = "exp2",
 ) -> jnp.ndarray:
     """softmax(q k^T * scale + decomposed-bias) v on packed per-head lanes.
 
     Returns (B, Lq, H*D) in q's dtype (or out_dtype). Kp per head is
-    round_up(kt+kh+kw, 128); rel's zero tail rows meet zero E rows."""
+    round_up(kt+kh+kw, 128); rel's zero tail rows meet zero E rows.
+    softmax_mode "exp2" (default) computes the identical softmax via
+    exp2 with post-dot row normalization (VPU-lean, same math to fp
+    rounding); "div" is the classic jax.nn.softmax formulation."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, Lq, HD = q.shape
@@ -532,7 +554,8 @@ def fused_bias_attention_v2(
     cspec = lambda r, c: pl.BlockSpec((r, c), lambda b, h, i: (0, 0))  # noqa: E731
 
     out = pl.pallas_call(
-        functools.partial(_attn_v2_kernel, scale=scale, residual=residual),
+        functools.partial(_attn_v2_kernel, scale=scale, residual=residual,
+                          softmax_mode=softmax_mode),
         grid=grid,
         in_specs=[qspec, kvspec, kvspec, rspec,
                   cspec(Kp, lk_pad), cspec(1, lk_pad)],
@@ -600,16 +623,16 @@ def _attn_v2_bwd_kernel(q_ref, k_ref, v_ref, rel_ref, e_ref, mask_ref, g_ref,
 
 
 def _fba2_fwd(q, k, v, rel, k_shape, num_heads, scale, interpret, residual,
-              out_dtype):
+              out_dtype, softmax_mode):
     out = fused_bias_attention_v2(
         q, k, v, rel, k_shape, num_heads, scale, interpret, residual,
-        out_dtype,
+        out_dtype, softmax_mode,
     )
     return out, (q, k, v, rel)
 
 
-def _fba2_bwd(k_shape, num_heads, scale, interpret, residual, out_dtype, res,
-              g):
+def _fba2_bwd(k_shape, num_heads, scale, interpret, residual, out_dtype,
+              softmax_mode, res, g):
     q, k, v, rel = res
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
