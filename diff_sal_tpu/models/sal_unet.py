@@ -44,7 +44,7 @@ from diff_sal_tpu.models.layers import (
     salunet_init,
     timestep_embedding,
 )
-from diff_sal_tpu.ops.resize import (bilinear_resize, bilinear_resize_add,
+from diff_sal_tpu.ops.resize import (bilinear_resize, bilinear_resize_sum,
                                      nearest_upsample)
 
 
@@ -436,7 +436,7 @@ class Decoder(nn.Module):
         n = cfg.mid_num_stages
         th, tw = h * 2 ** (n - 1) * 2, w * 2 ** (n - 1) * 2
 
-        acc = None
+        tasks = []
         for i in range(n):
             x = TransformerStage(
                 stage_idx=i,
@@ -459,13 +459,13 @@ class Decoder(nn.Module):
                 dtype=self.dtype,
                 name=f"redu_chan{i}",
             )(normed)
-            task = task[:, 0]  # (B, h_i, w_i, 768)
-            if acc is None:
-                acc = bilinear_resize(task, (th, tw))
-            else:
-                # fused resize+accumulate kernel (ops/resize.py) — one pass,
-                # no transposed per-scale intermediates
-                acc = bilinear_resize_add(acc, task)
+            tasks.append(task[:, 0])  # (B, h_i, w_i, 768)
+
+        # single-pass multi-scale resize+sum kernel (ops/resize.py): reads
+        # each small scale map once, writes the (th, tw) accumulator once —
+        # the chained per-scale adds re-read/re-wrote the 264 MB
+        # accumulator 3x (docs/PERF.md round 3)
+        acc = bilinear_resize_sum(tasks, (th, tw))
 
         return ConvBNRelu(cfg.down_embed_dim, dtype=self.dtype, name="mt_proj")(
             acc, train=train

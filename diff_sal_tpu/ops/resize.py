@@ -202,3 +202,116 @@ def bilinear_resize_add(
 
     op.defvjp(op_fwd, op_bwd)
     return op(acc, x)
+
+def _resize_sum_kernel(*refs, n: int):
+    """refs = (x_0..x_{n-1}, ah_0.., aw_0.., o_ref): one output tile =
+    sum of the n separable-resize contributions."""
+    import jax
+
+    xs = refs[:n]
+    ahs = refs[n : 2 * n]
+    aws = refs[2 * n : 3 * n]
+    o_ref = refs[3 * n]
+    out = None
+    for x_ref, ah_ref, aw_ref in zip(xs, ahs, aws):
+        xv = x_ref[0].astype(jnp.float32)  # (h, w, ct)
+        h, w, ct = xv.shape
+        t1 = jnp.dot(
+            ah_ref[...], xv.reshape(h, w * ct),
+            preferred_element_type=jnp.float32,
+        ).reshape(-1, w, ct)  # (ht, w, ct)
+        t2 = jax.lax.dot_general(
+            t1, aw_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (ht, ct, W)
+        out = t2 if out is None else out + t2
+    o_ref[0] = jnp.swapaxes(out, 1, 2).astype(o_ref.dtype)
+
+
+def bilinear_resize_sum(
+    xs,  # list of (B, h_i, w_i, C)
+    out_hw: tuple,
+    interpret: bool = None,
+):
+    """sum_i bilinear_resize(x_i, out_hw) in ONE pass.
+
+    The decoder's multi-scale sum (reference sal_unet.py:482-491) chained
+    bilinear_resize_add per scale — each call re-reads and re-writes the
+    full-resolution accumulator (264 MB at B=8 C=768), ~4 HBM passes
+    total. This kernel reads each small scale map once (resident across
+    the output-row grid) and writes the accumulator once: ~0.35 GB of
+    traffic instead of ~1.8 GB (docs/PERF.md round 3). C must be a
+    multiple of 128 and H of 8 on the kernel path; identical jnp math
+    elsewhere."""
+    import jax
+    from jax.experimental import pallas as pl
+
+    H, W = out_hw
+    B, _, _, C = xs[0].shape
+    n = len(xs)
+    force_interpret = interpret == "force"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if (interpret and not force_interpret) or C % 128 or H % 8:
+        out = bilinear_resize(xs[0], (H, W)).astype(xs[0].dtype)
+        for x in xs[1:]:
+            out = out + bilinear_resize(x, (H, W)).astype(out.dtype)
+        return out
+
+    ct = 128
+    ht = 16 if H % 16 == 0 else 8
+    ahs = [
+        jnp.asarray(_linear_weights(x.shape[1], H), jnp.float32) for x in xs
+    ]
+    aws = [
+        jnp.asarray(_linear_weights(x.shape[2], W), jnp.float32) for x in xs
+    ]
+    shapes = [(x.shape[1], x.shape[2]) for x in xs]
+
+    def fwd(*xs):
+        in_specs = (
+            [
+                pl.BlockSpec((1, h, w, ct), lambda b, c, i: (b, 0, 0, c))
+                for (h, w) in shapes
+            ]
+            + [
+                pl.BlockSpec((ht, h), lambda b, c, i: (i, 0))
+                for (h, w) in shapes
+            ]
+            + [
+                pl.BlockSpec((W, w), lambda b, c, i: (0, 0))
+                for (h, w) in shapes
+            ]
+        )
+        return pl.pallas_call(
+            functools.partial(_resize_sum_kernel, n=n),
+            grid=(B, C // ct, H // ht),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, ht, W, ct), lambda b, c, i: (b, i, 0, c)
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, H, W, C), xs[0].dtype),
+            interpret=force_interpret,
+        )(*xs, *ahs, *aws)
+
+    @jax.custom_vjp
+    def op(*xs):
+        return fwd(*xs)
+
+    dtypes = [x.dtype for x in xs]
+
+    def op_fwd(*xs):
+        return fwd(*xs), None
+
+    def op_bwd(_, g):
+        # d_x_i = Ah_i^T g Aw_i^T — the separable structure per input
+        gf = g.astype(jnp.float32)
+        outs = []
+        for ah, aw, dt in zip(ahs, aws, dtypes):
+            gh = jnp.einsum("oh,bowc->bhwc", ah, gf)
+            outs.append(jnp.einsum("ow,bhoc->bhwc", aw, gh).astype(dt))
+        return tuple(outs)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op(*xs)

@@ -236,3 +236,34 @@ def test_fused_layernorm_masked_real_dim():
     np.testing.assert_allclose(
         np.asarray(gx[..., :real]), np.asarray(gxr), atol=2e-4
     )
+
+
+def test_bilinear_resize_sum_kernel():
+    """bilinear_resize_sum (single-pass multi-scale resize+sum kernel)
+    equals the chained bilinear_resize sum, fwd and grads (Pallas
+    interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diff_sal_tpu.ops.resize import bilinear_resize, bilinear_resize_sum
+
+    key = jax.random.PRNGKey(0)
+    H, W, C = 16, 24, 128
+    xs = [
+        jax.random.normal(jax.random.fold_in(key, i), (2, h, w, C))
+        for i, (h, w) in enumerate([(2, 3), (4, 6), (8, 12), (16, 24)])
+    ]
+    want = sum(bilinear_resize(x, (H, W)) for x in xs)
+    got = bilinear_resize_sum(xs, (H, W), interpret="force")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    def loss(xs):
+        return jnp.sum(bilinear_resize_sum(xs, (H, W), interpret="force") ** 2)
+
+    def loss_ref(xs):
+        return jnp.sum(sum(bilinear_resize(x, (H, W)) for x in xs) ** 2)
+
+    g = jax.grad(loss)(xs)
+    g_ref = jax.grad(loss_ref)(xs)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
