@@ -503,6 +503,72 @@ def _attn_v2_kernel(q_ref, k_ref, v_ref, rel_ref, e_ref, mask_ref, o_ref, *,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _attn_v2_resident_kernel(q_ref, k_ref, v_ref, rel_ref, e_ref, mask_ref,
+                             o_ref, *, scale: float, residual: bool,
+                             softmax_mode: str, q_inner: int):
+    """kv-resident variant: grid is (B, H) only; k/v live in VMEM for the
+    whole (b, h) step and q tiles are walked with an inner loop. The
+    tiled-grid kernel re-fetches the (lk_pad, D) k/v blocks on every
+    q-tile step — ~970 MB of redundant DMA at MViT block 1 (B=8), which
+    measured ~1.2 ms of the kernel's 2.3 ms (docs/PERF.md round 3)."""
+    k = k_ref[0]
+    v = v_ref[0]
+    e = e_ref[...]
+    mask = mask_ref[...]
+    n = q_ref.shape[1] // q_inner
+
+    def body(i, _):
+        sl = pl.ds(i * q_inner, q_inner)
+        q = q_ref[0, sl]
+        scores = jax.lax.dot_general(
+            q * jnp.asarray(scale, q.dtype), k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        bias = jnp.dot(rel_ref[0, sl], e.astype(q.dtype),
+                       preferred_element_type=jnp.float32)
+        s = scores + bias + mask
+        if softmax_mode == "exp2":
+            m = jnp.max(s, axis=-1, keepdims=True)
+            ex = jnp.exp2((s - m) * LOG2E)
+            r = 1.0 / jnp.sum(ex, axis=-1, keepdims=True)
+            out = jnp.dot(ex.astype(q.dtype), v,
+                          preferred_element_type=jnp.float32) * r
+        else:
+            p = jax.nn.softmax(s, axis=-1)
+            out = jnp.dot(p.astype(q.dtype), v,
+                          preferred_element_type=jnp.float32)
+        if residual:
+            out = out + q.astype(jnp.float32)
+        o_ref[0, sl] = out.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+# kv-resident heuristics: only when the whole-(b,h) operands fit VMEM
+# comfortably AND the kv block is big enough that re-fetching it per
+# q-tile would dominate (lk_pad >= 1024: blocks 1/3/14 of the MViT plan).
+# MEASURED NULL on v5e (block-1/3 shapes identical to the tiled grid —
+# Mosaic already skips re-DMA of blocks whose index is unchanged between
+# consecutive grid steps, so the suspected 970 MB of redundant kv traffic
+# never existed); kept implemented + equality-tested, default OFF.
+_RESIDENT_Q_INNER = 256
+_RESIDENT_ENABLED = False
+
+
+def _use_resident(lq_pad: int, lk_pad: int, D: int, Kp: int) -> bool:
+    if not _RESIDENT_ENABLED or lk_pad < 1024:
+        return False
+    vmem = (
+        lq_pad * (2 * D + Kp) * 2  # q + out + rel (bf16)
+        + 2 * lk_pad * D * 2  # k + v
+        + Kp * lk_pad * 4  # E
+        + 4 * _RESIDENT_Q_INNER * lk_pad * 4  # scores/exp temporaries
+    )
+    return vmem <= 64 * 1024 * 1024
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def fused_bias_attention_v2(
     q: jnp.ndarray,  # (B, Lq, H*D) — spatial tokens only, D = 128-padded hd
@@ -538,7 +604,12 @@ def fused_bias_attention_v2(
     assert Kp % 128 == 0 and Kp >= K, (Kp, K)
 
     lk_pad = _round_up(Lk, 128)
-    q_tile, lq_pad = _pick_q_tile(Lq, lk_pad)
+    resident = _use_resident(_round_up(Lq, _RESIDENT_Q_INNER), lk_pad, D, Kp)
+    if resident:
+        q_tile = _RESIDENT_Q_INNER
+        lq_pad = _round_up(Lq, q_tile)
+    else:
+        q_tile, lq_pad = _pick_q_tile(Lq, lk_pad)
     E, maskrow = _expansion_cat((kt, kh, kw), Lk, lk_pad, Kp)
 
     if lq_pad != Lq:
@@ -547,21 +618,42 @@ def fused_bias_attention_v2(
     kp = jnp.pad(k, ((0, 0), (0, lk_pad - Lk), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, lk_pad - Lk), (0, 0)))
 
-    grid = (B, H, lq_pad // q_tile)
-    qspec = pl.BlockSpec((1, q_tile, D), lambda b, h, i: (b, i, h))
-    kvspec = pl.BlockSpec((1, lk_pad, D), lambda b, h, i: (b, 0, h))
-    rspec = pl.BlockSpec((1, q_tile, Kp), lambda b, h, i: (b, i, h))
-    cspec = lambda r, c: pl.BlockSpec((r, c), lambda b, h, i: (0, 0))  # noqa: E731
+    cspec = lambda r, c, n: pl.BlockSpec(  # noqa: E731
+        (r, c), (lambda b, h: (0, 0)) if n == 2 else (lambda b, h, i: (0, 0))
+    )
+    if resident:
+        grid = (B, H)
+        qspec = pl.BlockSpec((1, lq_pad, D), lambda b, h: (b, 0, h))
+        kvspec = pl.BlockSpec((1, lk_pad, D), lambda b, h: (b, 0, h))
+        rspec = pl.BlockSpec((1, lq_pad, Kp), lambda b, h: (b, 0, h))
+        kernel = functools.partial(
+            _attn_v2_resident_kernel, scale=scale, residual=residual,
+            softmax_mode=softmax_mode, q_inner=q_tile,
+        )
+    else:
+        grid = (B, H, lq_pad // q_tile)
+        qspec = pl.BlockSpec((1, q_tile, D), lambda b, h, i: (b, i, h))
+        kvspec = pl.BlockSpec((1, lk_pad, D), lambda b, h, i: (b, 0, h))
+        rspec = pl.BlockSpec((1, q_tile, Kp), lambda b, h, i: (b, i, h))
+        kernel = functools.partial(
+            _attn_v2_kernel, scale=scale, residual=residual,
+            softmax_mode=softmax_mode,
+        )
 
     out = pl.pallas_call(
-        functools.partial(_attn_v2_kernel, scale=scale, residual=residual,
-                          softmax_mode=softmax_mode),
+        kernel,
         grid=grid,
         in_specs=[qspec, kvspec, kvspec, rspec,
-                  cspec(Kp, lk_pad), cspec(1, lk_pad)],
+                  cspec(Kp, lk_pad, len(grid)), cspec(1, lk_pad, len(grid))],
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct((B, lq_pad, HD),
                                        out_dtype or q.dtype),
+        # the resident variant holds whole-(b,h) operands in VMEM — raise
+        # Mosaic's 16 MB default scoped-vmem cap (v5e has 128 MB)
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if resident and not interpret else None
+        ),
         interpret=interpret,
     )(q, kp, vp, rel, jnp.asarray(E), jnp.asarray(maskrow))
     return out[:, :Lq] if lq_pad != Lq else out

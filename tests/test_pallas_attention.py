@@ -357,3 +357,45 @@ class TestV2Kernel:
         ref = self._reference(q, k, v, rel, (2, 3, 4), 0.1, False)
         got = np.asarray(out).reshape(q.shape[0], q.shape[1], 2, 128)
         np.testing.assert_allclose(got[..., : q.shape[-1]], ref, atol=2e-5)
+
+
+def test_v2_resident_path_matches_reference():
+    """Shapes with lk_pad >= 1024 dispatch to the kv-resident kernel
+    variant (grid (B,H), inner q loop — ops/attention.py
+    _attn_v2_resident_kernel); it must match the XLA reference exactly
+    like the tiled variant."""
+    import jax
+    import jax.numpy as jnp
+
+    from diff_sal_tpu.ops import attention as attn_mod
+    from diff_sal_tpu.ops.attention import (fused_bias_attention_v2,
+                                            reference_bias_attention_v2)
+
+    k_shape = (8, 14, 10)  # 1121 keys -> lk_pad 1152 >= 1024
+    Lk = 1 + 8 * 14 * 10
+    B, H, Lq, hd = 2, 2, 512, 96
+    D, Kp = 128, 128
+    attn_mod._RESIDENT_ENABLED = True
+    try:
+        assert attn_mod._use_resident(512, 1152, D, Kp)
+
+        key = jax.random.PRNGKey(3)
+        mk = lambda i, shp: jax.random.normal(jax.random.fold_in(key, i), shp) * 0.4  # noqa: E731
+        # packed layout with zero pad lanes beyond hd
+        q4 = mk(0, (B, Lq, H, hd))
+        k4 = mk(1, (B, Lk, H, hd))
+        v4 = mk(2, (B, Lk, H, hd))
+        pad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, D - hd))).reshape(  # noqa: E731
+            x.shape[0], x.shape[1], -1
+        )
+        K = sum(k_shape)
+        rel = mk(3, (B, Lq, H, K))
+        relp = jnp.pad(rel, ((0, 0), (0, 0), (0, 0), (0, Kp - K))).reshape(
+            B, Lq, -1
+        )
+        args = (pad(q4), pad(k4), pad(v4), relp, k_shape, H, 0.13, True, True)
+        got = fused_bias_attention_v2(*args)
+        want = reference_bias_attention_v2(*args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+    finally:
+        attn_mod._RESIDENT_ENABLED = False
