@@ -214,6 +214,11 @@ class MViTConfig:
     # post-dot row normalization — the kernel was VPU-bound on the f32
     # softmax; same math to fp rounding) | "div" (classic softmax)
     attn_softmax: str = "exp2"
+    # strided-skip max pool lowering: "window" (nn.max_pool) | "phase"
+    # (separable phase-split max). Exact equivalents; measured 0.944x for
+    # phase at B=8 (docs/PERF.md round 3) — reduce-window wins, default
+    # stays window.
+    skip_pool: str = "window"
     # stem lowering: conv | patches | s2d | s2d_staged (see PatchEmbed3D)
     stem_mode: str = "s2d_staged"
     # s2d stems: fold the window-alignment pad into the block-space conv's

@@ -527,6 +527,39 @@ class MaxPoolSkip(nn.Module):
         return x
 
 
+def _phase_max_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Max-pool kernel 3 / stride 2 / pad 1 along `axis` (even length) via
+    the phase split: out[i] = max(x[2i-1], x[2i], x[2i+1]) =
+    max(xr[i,0], xr[i,1], xr[i-1,1]) — contiguous slices + two elementwise
+    maxima, no reduce-window (whose TPU emitter forces batch-in-sublane
+    relayouts of the 43k-token skip tensors; docs/PERF.md round 3)."""
+    n = x.shape[axis]
+    assert n % 2 == 0, (x.shape, axis)
+    xr = x.reshape(x.shape[:axis] + (n // 2, 2) + x.shape[axis + 1:])
+    a = jax.lax.index_in_dim(xr, 0, axis + 1, keepdims=False)
+    b = jax.lax.index_in_dim(xr, 1, axis + 1, keepdims=False)
+    m = jnp.maximum(a, b)
+    neg = jnp.full_like(
+        jax.lax.slice_in_dim(b, 0, 1, axis=axis), -jnp.inf
+    )
+    prev = jnp.concatenate(
+        [neg, jax.lax.slice_in_dim(b, 0, n // 2 - 1, axis=axis)], axis=axis
+    )
+    return jnp.maximum(m, prev)
+
+
+def _phase_max_pool(x: jnp.ndarray, stride: Tuple[int, int, int]):
+    """nn.max_pool(kernel=stride+1, stride, pad kernel//2) on (B,T,H,W,C),
+    decomposed per axis — exact for the plan's stride pattern (1 or 2 per
+    axis; kernel 1 at stride 1 is the identity)."""
+    for ax, s in enumerate(stride):
+        if s == 1:
+            continue
+        assert s == 2, stride
+        x = _phase_max_axis(x, 1 + ax)
+    return x
+
+
 class MultiScaleAttention(nn.Module):
     """Pooled multi-head attention with decomposed rel-pos
     (reference mvit.py:497-650).
@@ -1060,6 +1093,8 @@ class MultiScaleBlock(nn.Module):
     fuse_kv: bool = False
     # "exp2" | "div" kernel softmax formulation (MViTConfig.attn_softmax)
     softmax_mode: str = "exp2"
+    # "window" | "phase" strided-skip max pool (MViTConfig.skip_pool)
+    skip_pool_mode: str = "window"
     # MLP activation (MViTConfig.gelu)
     act: Callable = gelu_exact
 
@@ -1190,18 +1225,25 @@ class MultiScaleBlock(nn.Module):
                 skip_sp = proj(sp_n)
             skip_cls = proj(cls_n) if proj is not None else cls
         if strided:
-            kernel = tuple(s + 1 if s > 1 else s for s in self.stride_q)
             if self.tokens3d:
                 B = skip_sp.shape[0]
                 skip_sp = skip_sp.reshape(
                     (B,) + tuple(in_size) + (skip_sp.shape[-1],)
                 )
-            skip_sp = nn.max_pool(
-                skip_sp,
-                window_shape=kernel,
-                strides=self.stride_q,
-                padding=[(k // 2, k // 2) for k in kernel],
-            )
+            if self.skip_pool_mode == "phase" and all(
+                s in (1, 2) for s in self.stride_q
+            ):
+                skip_sp = _phase_max_pool(skip_sp, tuple(self.stride_q))
+            else:
+                kernel = tuple(
+                    s + 1 if s > 1 else s for s in self.stride_q
+                )
+                skip_sp = nn.max_pool(
+                    skip_sp,
+                    window_shape=kernel,
+                    strides=self.stride_q,
+                    padding=[(k // 2, k // 2) for k in kernel],
+                )
             if self.tokens3d:
                 skip_sp = skip_sp.reshape(B, -1, skip_sp.shape[-1])
         sp = skip_sp + attn_sp
@@ -1348,6 +1390,7 @@ class MViT(nn.Module):
                 else "conv",
                 fuse_kv=cfg.fuse_kv and cls_stream and tokens3d,
                 softmax_mode=cfg.attn_softmax,
+                skip_pool_mode=cfg.skip_pool,
                 act=gelu_tanh if cfg.gelu == "tanh" else gelu_exact,
                 name=f"blocks_{i}",
             )(tokens, size)

@@ -477,3 +477,24 @@ def test_stencil_pool_matches_conv_pool():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5
         )
+
+
+def test_phase_max_pool_matches_window():
+    """skip_pool="phase" (_phase_max_pool: separable phase-split maxima)
+    equals nn.max_pool(kernel=stride+1, stride, pad kernel//2) — the
+    strided-skip pool semantics (reference mvit.py:748-763) — bitwise."""
+    import flax.linen as nn_
+    import jax
+
+    from diff_sal_tpu.models.mvit import _phase_max_pool
+
+    key = jax.random.PRNGKey(0)
+    for stride in [(1, 2, 2), (2, 2, 2)]:
+        x = jax.random.normal(key, (2, 4, 8, 12, 16))
+        kernel = tuple(s + 1 if s > 1 else s for s in stride)
+        want = nn_.max_pool(
+            x, window_shape=kernel, strides=stride,
+            padding=[(k // 2, k // 2) for k in kernel],
+        )
+        got = _phase_max_pool(x, stride)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
