@@ -154,6 +154,50 @@ def fused_layernorm(
     return out.reshape(x.shape)
 
 
+def _ln_bwd_kernel(x_ref, g_ref, scale_ref, dx_ref, ds_ref, db_ref, *,
+                   c_real: int, eps: float):
+    """Single-pass LayerNorm backward: reads the x and g tiles once,
+    recomputes the row stats in VMEM and writes dx + accumulates
+    (d_scale, d_bias) across the sequential row grid. XLA's vjp lowers to
+    convert->reduce + multiply->reduce fusion chains that re-read the
+    activations several times (~19 ms/step of the B=4 AV train step,
+    docs/PERF.md round 3). The math mirrors `_ln_reference`'s vjp exactly
+    (including the pad-lane mean coupling), so grads match the XLA path."""
+    i = pl.program_id(0)
+    x = x_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
+    s = scale_ref[...].astype(jnp.float32)
+    C = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    mask = (lane < c_real).astype(jnp.float32)
+
+    mean = jnp.sum(x, axis=-1, keepdims=True) / c_real
+    var = jnp.maximum(
+        jnp.sum(x * x, axis=-1, keepdims=True) / c_real - mean * mean, 0.0
+    )
+    r = jax.lax.rsqrt(var + eps)
+    u = x - mean
+    y = u * r * mask  # masked normalized rows (pad lanes zero)
+
+    dy = g * s * mask
+    sum_dy = jnp.sum(dy, axis=-1, keepdims=True)
+    dvar = -0.5 * (r * r * r) * jnp.sum(dy * u, axis=-1, keepdims=True)
+    dmean = -r * sum_dy - 2.0 * mean * dvar
+    dx = dy * r + (2.0 / c_real) * x * dvar + dmean / c_real
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+    ds_tile = jnp.sum(g * y, axis=0, keepdims=True)
+    db_tile = jnp.sum(g, axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _init():
+        ds_ref[...] = jnp.zeros_like(ds_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    ds_ref[...] += ds_tile
+    db_ref[...] += db_tile
+
+
 def _ln_fwd(x, scale, bias, eps, interpret, real_dim):
     return fused_layernorm(x, scale, bias, eps, interpret, real_dim), (
         x, scale, bias,
@@ -164,14 +208,77 @@ def _ln_bwd(eps, interpret, real_dim, res, g):
     x, scale, bias = res
     C = x.shape[-1]
 
-    def ref(x, s, b):
-        if s.shape[0] < C:
-            s = jnp.pad(s, (0, C - s.shape[0]))
-            b = jnp.pad(b, (0, C - b.shape[0]))
-        return _ln_reference(x, s, b, eps, real_dim)
+    kernel_interpret = interpret is True  # explicit interpret: testable
+    use_kernel = True
+    if not kernel_interpret:
+        import os
 
-    _, vjp = jax.vjp(ref, x, scale, bias)
-    return vjp(g)
+        if (
+            jax.default_backend() != "tpu"
+            or os.environ.get("DIFF_SAL_XLA_LN") == "1"
+            or os.environ.get("DIFF_SAL_XLA_LN_BWD") == "1"
+        ):
+            use_kernel = False
+    if not use_kernel:
+        def ref(x, s, b):
+            if s.shape[0] < C:
+                s = jnp.pad(s, (0, C - s.shape[0]))
+                b = jnp.pad(b, (0, C - b.shape[0]))
+            return _ln_reference(x, s, b, eps, real_dim)
+
+        _, vjp = jax.vjp(ref, x, scale, bias)
+        return vjp(g)
+
+    n_param = scale.shape[0]
+    sp = (jnp.pad(scale, (0, C - n_param)) if n_param < C else scale)
+    c_real = real_dim or C
+    lead = x.shape[:-1]
+    R = 1
+    for d in lead:
+        R *= d
+    x2 = x.reshape(R, C)
+    g2 = g.reshape(R, C)
+    sublane = 16 if x.dtype == jnp.bfloat16 else 8
+    # backward holds ~8 f32 tile temporaries
+    r_tile = _row_tile(R, _round_up(C, 128), sublane)
+    if r_tile == 0:
+        r_tile = max(
+            min((6 * 1024 * 1024) // (6 * _round_up(C, 128) * 4),
+                _round_up(R, sublane)) // sublane * sublane,
+            sublane,
+        )
+        r_pad = _round_up(R, r_tile)
+        # padded g rows are zero => zero dx rows and no ds/db contribution
+        x2 = jnp.pad(x2, ((0, r_pad - R), (0, 0)))
+        g2 = jnp.pad(g2, ((0, r_pad - R), (0, 0)))
+    else:
+        r_pad = R
+
+    dx, ds, db = pl.pallas_call(
+        functools.partial(_ln_bwd_kernel, c_real=c_real, eps=eps),
+        grid=(r_pad // r_tile,),
+        in_specs=[
+            pl.BlockSpec((r_tile, C), lambda i: (i, 0)),
+            pl.BlockSpec((r_tile, C), lambda i: (i, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((r_tile, C), lambda i: (i, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r_pad, C), x.dtype),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ],
+        interpret=kernel_interpret,
+    )(x2, g2, sp.reshape(1, C))
+    if r_pad != R:
+        dx = dx[:R]
+    ds = ds[0, :n_param].astype(scale.dtype)
+    db = db[0, :n_param].astype(bias.dtype)
+    return dx.reshape(x.shape), ds, db
 
 
 fused_layernorm.defvjp(_ln_fwd, _ln_bwd)

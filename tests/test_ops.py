@@ -267,3 +267,50 @@ def test_bilinear_resize_sum_kernel():
     g_ref = jax.grad(loss_ref)(xs)
     for a, b in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_layernorm_bwd_kernel():
+    """The Pallas LN backward kernel (_ln_bwd_kernel, interpret mode)
+    matches autodiff through the reference formulation — full-width,
+    masked (real_dim), and short-param variants, f32 and bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    from diff_sal_tpu.ops.layernorm import _ln_reference, fused_layernorm
+
+    key = jax.random.PRNGKey(0)
+    for dtype, real_dim, n_param, rows in [
+        (jnp.float32, None, 128, 48),
+        (jnp.float32, 96, 128, 48),
+        (jnp.float32, 96, 96, 40),  # short params + masked lanes
+        (jnp.bfloat16, None, 128, 48),
+    ]:
+        C = 128
+        x = (jax.random.normal(key, (rows, C)) * 2.0).astype(dtype)
+        if real_dim:
+            x = x.at[..., real_dim:].set(0)
+        s = jax.random.normal(jax.random.fold_in(key, 1), (n_param,)) + 1.0
+        b = jax.random.normal(jax.random.fold_in(key, 2), (n_param,))
+        g = jax.random.normal(jax.random.fold_in(key, 3), (rows, C)).astype(
+            dtype
+        )
+
+        def loss_kernel(x, s, b):
+            return jnp.sum(
+                fused_layernorm(x, s, b, 1e-6, True, real_dim) * g
+            )
+
+        def loss_ref(x, s, b):
+            sp = jnp.pad(s, (0, C - n_param)) if n_param < C else s
+            bp = jnp.pad(b, (0, C - n_param)) if n_param < C else b
+            return jnp.sum(_ln_reference(x, sp, bp, 1e-6, real_dim) * g)
+
+        g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(x, s, b)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, s, b)
+        tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+        for a, want in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(want, np.float32),
+                atol=tol * (np.abs(np.asarray(want, np.float32)).max() + 1),
+                err_msg=f"{dtype} real_dim={real_dim} n_param={n_param}",
+            )
