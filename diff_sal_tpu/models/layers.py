@@ -98,22 +98,60 @@ class Mlp(nn.Module):
 
 
 class ConvBNRelu(nn.Module):
-    """3x3 conv + BatchNorm + ReLU (reference common_block.py:33-36)."""
+    """3x3 conv + BatchNorm + ReLU (reference common_block.py:33-36).
+
+    When called with `tasks` + `out_hw` instead of `x`, the input is the
+    decoder's multi-scale resize+sum (sum_i bilinear_resize(task_i)),
+    computed by the single-pass bilinear_resize_sum kernel. With
+    fused_head=True (eval only) the WHOLE chain instead lowers through
+    resize_sum_conv_relu (ops/resize.py) with the BN running stats folded
+    into the conv weights — measured slower on v5e, see the field comment.
+    Parameters are identical on every path."""
 
     features: int
     kernel_init: Callable = salunet_init
     dtype: Optional[jnp.dtype] = None
+    # fused eval head: MEASURED SLOWER than the unfused chain on v5e
+    # (4.1 vs 3.97 ms/iter at B=8, ht=28 variant 6.8 — the XLA conv
+    # emitter + single-pass resize_sum win; docs/PERF.md round 3). Kept
+    # implemented + equality-tested, default OFF.
+    fused_head: bool = False
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = nn.Conv(
+    def setup(self):
+        self.conv = nn.Conv(
             self.features, (3, 3), padding=1, kernel_init=self.kernel_init,
             dtype=self.dtype, name="conv",
-        )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn",
-        )(x)
+        )
+        self.bn = nn.BatchNorm(
+            momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn",
+        )
+
+    def __call__(self, x=None, train: bool = False, *, tasks=None,
+                 out_hw=None):
+        from diff_sal_tpu.ops.resize import (bilinear_resize_sum,
+                                             resize_sum_conv_relu)
+
+        if (self.fused_head and tasks is not None and not train
+                and not self.is_initializing()):
+            # eval: fold BN (running stats) + conv bias into one affine and
+            # run the fused kernel: relu(conv_k'(sum resize) + b')
+            kernel = self.conv.variables["params"]["kernel"]
+            cbias = self.conv.variables["params"]["bias"]
+            scale = self.bn.variables["params"]["scale"]
+            bbias = self.bn.variables["params"]["bias"]
+            mean = self.bn.variables["batch_stats"]["mean"]
+            var = self.bn.variables["batch_stats"]["var"]
+            a = scale * jax.lax.rsqrt(var + 1e-5)
+            b = (cbias - mean) * a + bbias
+            dt = self.dtype or tasks[0].dtype
+            return resize_sum_conv_relu(
+                [t.astype(dt) for t in tasks], out_hw,
+                (kernel * a).astype(dt), b.astype(jnp.float32),
+            )
+        if tasks is not None:
+            x = bilinear_resize_sum(tasks, out_hw)
+        x = self.conv(x)
+        x = self.bn(x, use_running_average=not train)
         return nn.relu(x)
 
 

@@ -44,8 +44,7 @@ from diff_sal_tpu.models.layers import (
     salunet_init,
     timestep_embedding,
 )
-from diff_sal_tpu.ops.resize import (bilinear_resize, bilinear_resize_sum,
-                                     nearest_upsample)
+from diff_sal_tpu.ops.resize import bilinear_resize, nearest_upsample
 
 
 class TimestepMLP(nn.Module):
@@ -461,14 +460,13 @@ class Decoder(nn.Module):
             )(normed)
             tasks.append(task[:, 0])  # (B, h_i, w_i, 768)
 
-        # single-pass multi-scale resize+sum kernel (ops/resize.py): reads
-        # each small scale map once, writes the (th, tw) accumulator once —
-        # the chained per-scale adds re-read/re-wrote the 264 MB
-        # accumulator 3x (docs/PERF.md round 3)
-        acc = bilinear_resize_sum(tasks, (th, tw))
-
+        # multi-scale resize+sum + mt_proj: in eval this lowers through the
+        # fully fused resize_sum_conv_relu kernel (BN folded into the conv
+        # weights; the (th, tw, 768) accumulator never hits HBM); training
+        # uses the single-pass bilinear_resize_sum + plain conv/BN
+        # (ops/resize.py, docs/PERF.md round 3)
         return ConvBNRelu(cfg.down_embed_dim, dtype=self.dtype, name="mt_proj")(
-            acc, train=train
+            tasks=tasks, out_hw=(th, tw), train=train
         )
 
 

@@ -318,3 +318,148 @@ def bilinear_resize_sum(
 
     op.defvjp(op_fwd, op_bwd)
     return op(*xs)
+
+# ---------------------------------------------------------------------------
+# Fully fused decoder head: relu(conv3x3_same(sum_i resize(x_i)) + bias) in
+# one kernel — the (th, tw, 768) multi-scale accumulator (264 MB at B=8)
+# never exists in HBM; the 3x3 conv (mt_proj, reference common_block.py:33-36
+# + sal_unet.py:489-491) contracts each 128-channel block as nine shifted
+# 2D MXU dots accumulated in a VMEM scratch across the sequential c grid.
+# All reorderings are major-dim swaps (lanes stay channel-minor): the
+# earlier standalone chain cost ~3.9 ms/iter (resize_sum 1.86 + mt_proj
+# fusion 2.11) at B=8, docs/PERF.md round 3.
+# ---------------------------------------------------------------------------
+
+
+def _resize_sum_conv_kernel(*refs, n: int, ht: int, n_c: int):
+    import jax
+    from jax.experimental import pallas as pl
+
+    xs = refs[:n]
+    ahs = refs[n : 2 * n]  # (H+2, h_i) with zero rows 0 and H+1
+    aws = refs[2 * n : 3 * n]  # (W, w_i)
+    k_ref, b_ref, o_ref, acc_ref = refs[3 * n : 3 * n + 4]
+    i = pl.program_id(1)
+    c = pl.program_id(2)
+
+    t = None  # (W, (ht+2)*ct) f32: W-major rows, channel-minor lanes
+    for x_ref, ah_ref, aw_ref in zip(xs, ahs, aws):
+        xv = x_ref[0].astype(jnp.float32)  # (h, w, ct)
+        h, w, ct = xv.shape
+        ah_rows = ah_ref[pl.ds(i * ht, ht + 2), :]  # halo rows +-1
+        t1 = jnp.dot(
+            ah_rows, xv.reshape(h, w * ct),
+            preferred_element_type=jnp.float32,
+        ).reshape(ht + 2, w, ct)
+        # major-dim swap (lanes intact) so the W contraction is a 2D dot
+        t1 = jnp.swapaxes(t1, 0, 1).reshape(w, (ht + 2) * ct)
+        t2 = jnp.dot(aw_ref[...], t1, preferred_element_type=jnp.float32)
+        t = t2 if t is None else t + t2
+
+    W = t.shape[0]
+    ct = xs[0].shape[-1]
+    tv = t.reshape(W, ht + 2, ct)
+    # conv zero padding along W (major dim); H padding is the zero rows
+    # built into ah
+    tp = jnp.pad(tv, ((1, 1), (0, 0), (0, 0)))
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    part = None
+    for dy in range(3):
+        for dx in range(3):
+            sl = tp[dx : dx + W, dy : dy + ht].reshape(W * ht, ct)
+            d = jnp.dot(
+                sl.astype(k_ref.dtype), k_ref[0, dy, dx],
+                preferred_element_type=jnp.float32,
+            )
+            part = d if part is None else part + d
+    acc_ref[...] += part
+
+    @pl.when(c == n_c - 1)
+    def _emit():
+        O = acc_ref.shape[-1]
+        y = jnp.maximum(acc_ref[...] + b_ref[...].astype(jnp.float32), 0.0)
+        o_ref[0] = jnp.swapaxes(y.reshape(W, ht, O), 0, 1).astype(o_ref.dtype)
+
+
+def resize_sum_conv_relu(
+    xs,  # list of (B, h_i, w_i, C)
+    out_hw: tuple,
+    kernel: jnp.ndarray,  # (3, 3, C, O) — any eval-time affine pre-folded
+    bias: jnp.ndarray,  # (O,)
+    interpret: bool = None,
+):
+    """relu(conv3x3_same(sum_i bilinear_resize(x_i, out_hw)) + bias).
+
+    Kernel path requires C % 128 == 0 and out_hw[0] % 8 == 0; identical
+    jnp math elsewhere. No gradient (inference head — the training path
+    keeps the unfused ops)."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W = out_hw
+    B, _, _, C = xs[0].shape
+    O = kernel.shape[-1]
+    n = len(xs)
+    force_interpret = interpret == "force"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if (interpret and not force_interpret) or C % 128 or H % 8 or O > 128:
+        acc = bilinear_resize_sum(xs, (H, W), interpret=interpret)
+        y = jax.lax.conv_general_dilated(
+            acc.astype(kernel.dtype), kernel, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return jax.nn.relu(y + bias.astype(y.dtype))
+
+    ct = 128
+    n_c = C // ct
+    ht = 16 if H % 16 == 0 else 8
+    dt = xs[0].dtype
+    ahs, aws = [], []
+    for x in xs:
+        ah = _linear_weights(x.shape[1], H)
+        ah = jnp.asarray(
+            np.pad(ah, ((1, 1), (0, 0))), jnp.float32
+        )  # zero rows = conv H padding
+        ahs.append(ah)
+        aws.append(jnp.asarray(_linear_weights(x.shape[2], W), jnp.float32))
+    shapes = [(x.shape[1], x.shape[2]) for x in xs]
+    k5 = kernel.reshape(3, 3, n_c, ct, O).transpose(2, 0, 1, 3, 4)
+    k5 = jnp.asarray(k5, dt)
+
+    in_specs = (
+        [
+            pl.BlockSpec((1, h, w, ct), lambda b, i, c: (b, 0, 0, c))
+            for (h, w) in shapes
+        ]
+        + [
+            pl.BlockSpec((H + 2, h), lambda b, i, c: (0, 0))
+            for (h, w) in shapes
+        ]
+        + [
+            pl.BlockSpec((W, w), lambda b, i, c: (0, 0))
+            for (h, w) in shapes
+        ]
+        + [
+            pl.BlockSpec((1, 3, 3, ct, O), lambda b, i, c: (c, 0, 0, 0, 0)),
+            pl.BlockSpec((1, O), lambda b, i, c: (0, 0)),
+        ]
+    )
+    return pl.pallas_call(
+        functools.partial(_resize_sum_conv_kernel, n=n, ht=ht, n_c=n_c),
+        grid=(B, H // ht, n_c),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, ht, W, O), lambda b, i, c: (b, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, O), dt),
+        scratch_shapes=[pltpu.VMEM((W * ht, O), jnp.float32)],
+        compiler_params=(
+            None if force_interpret or interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+        ),
+        interpret=force_interpret or interpret,
+    )(*xs, *ahs, *aws, k5, bias.reshape(1, O))

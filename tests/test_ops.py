@@ -314,3 +314,35 @@ def test_fused_layernorm_bwd_kernel():
                 atol=tol * (np.abs(np.asarray(want, np.float32)).max() + 1),
                 err_msg=f"{dtype} real_dim={real_dim} n_param={n_param}",
             )
+
+
+def test_resize_sum_conv_relu_kernel():
+    """resize_sum_conv_relu (fused multi-scale resize+sum -> 3x3 conv ->
+    +bias -> relu, ops/resize.py) equals the unfused chain, Pallas
+    interpret mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from diff_sal_tpu.ops.resize import (bilinear_resize,
+                                         resize_sum_conv_relu)
+
+    key = jax.random.PRNGKey(0)
+    H, W, C, O = 16, 24, 128, 96
+    xs = [
+        jax.random.normal(jax.random.fold_in(key, i), (2, h, w, C)) * 0.5
+        for i, (h, w) in enumerate([(2, 3), (4, 6), (8, 12), (16, 24)])
+    ]
+    k = jax.random.normal(jax.random.fold_in(key, 9), (3, 3, C, O)) * 0.05
+    b = jax.random.normal(jax.random.fold_in(key, 10), (O,)) * 0.1
+
+    acc = sum(bilinear_resize(x, (H, W)) for x in xs)
+    want = jax.nn.relu(
+        jax.lax.conv_general_dilated(
+            acc, k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+    )
+    got = resize_sum_conv_relu(xs, (H, W), k, b, interpret="force")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4
+    )
