@@ -214,6 +214,12 @@ class MViTConfig:
     # post-dot row normalization — the kernel was VPU-bound on the f32
     # softmax; same math to fp rounding) | "div" (classic softmax)
     attn_softmax: str = "exp2"
+    # fused block tail (ops/mlp.py): residual add + norm2 + fc1 -> GELU ->
+    # fc2 + residual add in ONE Pallas pass — the (R, 4C) MLP hidden
+    # activations (~2.6 GB/iter at B=8) never touch HBM and the ~13
+    # C-sized HBM passes per block become 3. Same param tree; cls_stream +
+    # tokens3d + flat_dots, unpadded streams only (falls back otherwise).
+    fused_tail: bool = False
     # strided-skip max pool lowering: "window" (nn.max_pool) | "phase"
     # (separable phase-split max). Exact equivalents; measured 0.944x for
     # phase at B=8 (docs/PERF.md round 3) — reduce-window wins, default

@@ -389,6 +389,35 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _LNParams(nn.Module):
+    """scale/bias params with FusedLayerNorm's exact tree and inits — for
+    the fused block tail, whose kernel consumes the raw parameters."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+class _MlpParams(nn.Module):
+    """fc1/fc2 kernel+bias params with Mlp's exact tree and inits."""
+
+    in_features: int
+    hidden_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        fc1 = _DenseParams(self.in_features, self.hidden_features,
+                           name="fc1")()
+        fc2 = _DenseParams(self.hidden_features, self.out_features,
+                           name="fc2")()
+        return fc1, fc2
+
+
 def _fused_depthwise_pool(
     x: jnp.ndarray,  # (B, T, Hh, Ww, n*heads*hd) — channel-folded q/k/v
     kernels: List[jnp.ndarray],  # per part, (kt, kh, kw, 1, hd)
@@ -1097,6 +1126,8 @@ class MultiScaleBlock(nn.Module):
     skip_pool_mode: str = "window"
     # MLP activation (MViTConfig.gelu)
     act: Callable = gelu_exact
+    # fused add+norm2+MLP+add block tail (ops/mlp.py, MViTConfig.fused_tail)
+    fused_tail: bool = False
 
     @nn.compact
     def __call__(self, x, in_size: Tuple[int, int, int]):
@@ -1137,11 +1168,45 @@ class MultiScaleBlock(nn.Module):
             flat_dots=self.flat_dots,
             name="attn",
         )
-        norm2 = FusedLayerNorm(
-            epsilon=1e-6, real_dim=self.out_dims if pad_out else None,
-            name="norm2",
+        use_ft = (
+            self.fused_tail
+            and self.cls_stream
+            and self.tokens3d
+            and self.flat_dots
+            and not (pad_in or pad_out)
+            and self.act in (gelu_tanh, gelu_exact)
         )
-        if pad_in or pad_out:
+        if use_ft:
+            # same param tree as FusedLayerNorm("norm2") + Mlp("mlp"); the
+            # fused kernel consumes the raw parameters
+            ln2_scale, ln2_bias = _LNParams(self.out_dims, name="norm2")()
+            (fc1_k, fc1_b), (fc2_k, fc2_b) = _MlpParams(
+                self.out_dims,
+                int(self.out_dims * self.mlp_ratio),
+                self.out_dims,
+                name="mlp",
+            )()
+            act_mode = "tanh" if self.act is gelu_tanh else "exact"
+
+            def tail(skip2d, attn2d):
+                from diff_sal_tpu.ops.mlp import fused_block_tail
+
+                dt = self.dtype or skip2d.dtype
+                return fused_block_tail(
+                    skip2d, attn2d, ln2_scale, ln2_bias,
+                    fc1_k.astype(dt), fc1_b, fc2_k.astype(dt), fc2_b,
+                    1e-6, act_mode, None,
+                )
+
+            norm2 = mlp = None
+        else:
+            norm2 = FusedLayerNorm(
+                epsilon=1e-6, real_dim=self.out_dims if pad_out else None,
+                name="norm2",
+            )
+        if use_ft:
+            pass
+        elif pad_in or pad_out:
             mlp = PaddedMlp(
                 in_features=self.out_dims,
                 hidden_features=int(self.out_dims * self.mlp_ratio),
@@ -1246,6 +1311,20 @@ class MultiScaleBlock(nn.Module):
                 )
             if self.tokens3d:
                 skip_sp = skip_sp.reshape(B, -1, skip_sp.shape[-1])
+        if use_ft:
+            from diff_sal_tpu.ops.mlp import block_tail_reference
+
+            B2, L2, C2 = skip_sp.shape
+            sp = tail(
+                skip_sp.reshape(B2 * L2, C2), attn_sp.reshape(B2 * L2, C2)
+            ).reshape(B2, L2, C2)
+            dt = self.dtype or cls.dtype
+            cls = block_tail_reference(
+                skip_cls.reshape(-1, C2), attn_cls.reshape(-1, C2),
+                ln2_scale, ln2_bias, fc1_k, fc1_b, fc2_k, fc2_b,
+                1e-6, act_mode, dt,
+            ).reshape(skip_cls.shape)
+            return (sp, cls), out_size
         sp = skip_sp + attn_sp
         cls = skip_cls + attn_cls
         if self.tokens3d and self.flat_dots:
@@ -1392,6 +1471,7 @@ class MViT(nn.Module):
                 softmax_mode=cfg.attn_softmax,
                 skip_pool_mode=cfg.skip_pool,
                 act=gelu_tanh if cfg.gelu == "tanh" else gelu_exact,
+                fused_tail=cfg.fused_tail,
                 name=f"blocks_{i}",
             )(tokens, size)
             stage = plan["emit_scale"]

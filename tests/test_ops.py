@@ -346,3 +346,91 @@ def test_resize_sum_conv_relu_kernel():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-4
     )
+
+
+@pytest.mark.parametrize(
+    "R,C,H", [(48, 96, 384), (128, 192, 768), (100, 96, 384)]
+)
+def test_fused_block_tail_kernel(R, C, H):
+    """fused_block_tail (add + LN + fc1 -> GELU -> fc2 + add, ops/mlp.py)
+    equals the reference composition in Pallas interpret mode, forward and
+    backward (reference mvit.py:784-791 tail semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diff_sal_tpu.ops.mlp import block_tail_reference, fused_block_tail
+
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 8)
+    skip = jax.random.normal(ks[0], (R, C))
+    attn = jax.random.normal(ks[1], (R, C))
+    scale = jax.random.normal(ks[2], (C,))
+    bias = jax.random.normal(ks[3], (C,))
+    w1 = jax.random.normal(ks[4], (C, H)) * 0.05
+    b1 = jax.random.normal(ks[5], (H,)) * 0.1
+    w2 = jax.random.normal(ks[6], (H, C)) * 0.05
+    b2 = jax.random.normal(ks[7], (C,)) * 0.1
+
+    for mode in ("tanh", "exact"):
+        got = fused_block_tail(
+            skip, attn, scale, bias, w1, b1, w2, b2, 1e-6, mode, True
+        )
+        want = block_tail_reference(
+            skip, attn, scale, bias, w1, b1, w2, b2, 1e-6, mode
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5
+        )
+
+    def f_fused(s, a, w):
+        return jnp.sum(
+            fused_block_tail(
+                s, a, scale, bias, w, b1, w2, b2, 1e-6, "tanh", True
+            ) ** 2
+        )
+
+    def f_ref(s, a, w):
+        return jnp.sum(
+            block_tail_reference(
+                s, a, scale, bias, w, b1, w2, b2, 1e-6, "tanh"
+            ) ** 2
+        )
+
+    g1 = jax.grad(f_fused, argnums=(0, 1, 2))(skip, attn, w1)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(skip, attn, w1)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_fused_tail_mvit_param_tree_and_fallback():
+    """MViTConfig(fused_tail=True) declares the identical param tree as the
+    unfused model, and on CPU (reference fallback) produces identical
+    pyramids."""
+    import jax
+    import jax.numpy as jnp
+
+    from diff_sal_tpu.config import MViTConfig
+    from diff_sal_tpu.models.mvit import MViT
+
+    cfg0 = MViTConfig(fused_tail=False)
+    cfg1 = MViTConfig(fused_tail=True)
+    m0, m1 = MViT(cfg0), MViT(cfg1)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 16, 64, 96, 3), jnp.float32)
+    p0 = m0.init(rng, x)
+    p1 = m1.init(rng, x)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(
+        p1
+    )
+    assert all(
+        a.shape == b.shape
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)
+        )
+    )
+    y0 = m0.apply(p0, x)
+    y1 = m1.apply(p0, x)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(y0), jax.tree_util.tree_leaves(y1)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
