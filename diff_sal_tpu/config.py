@@ -321,6 +321,17 @@ class SalUNetConfig:
     # exact erf GELU and saves the erfc VPU chain (see MViTConfig.gelu);
     # parity tests against torch in f32 pin "exact".
     gelu: str = "tanh"
+    # UpEmbed polyphase rewrite: the dilation-2 convs on the 2x-upsampled
+    # grid never mix (h,w) parities, so each stage runs as dense dil-1
+    # convs over the four polyphase planes folded into batch + one
+    # interleave — exact (BN stats included), equality-tested
+    # (tests/test_sal_unet.py). XLA's dilated-conv emitters measured
+    # 7-24% MFU vs 31-38% dense (scripts/micro_upembed.py).
+    upembed_phase: bool = False
+    # fused add+norm2+MLP+add TransformerBlock tail (ops/mlp.py), eval
+    # only (DropPath/Dropout are identity when deterministic); measured
+    # 1.008x e2e, faster in 5/5 interleaved rounds (docs/PERF.md round 3)
+    fused_tail: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

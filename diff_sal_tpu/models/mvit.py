@@ -375,11 +375,12 @@ class _DenseParams(nn.Module):
     in_features: int
     features: int
     use_bias: bool = True
+    kernel_init: Callable = vit_init
 
     @nn.compact
     def __call__(self):
         kernel = self.param(
-            "kernel", vit_init, (self.in_features, self.features)
+            "kernel", self.kernel_init, (self.in_features, self.features)
         )
         bias = (
             self.param("bias", nn.initializers.zeros, (self.features,))
@@ -408,13 +409,14 @@ class _MlpParams(nn.Module):
     in_features: int
     hidden_features: int
     out_features: int
+    kernel_init: Callable = vit_init
 
     @nn.compact
     def __call__(self):
         fc1 = _DenseParams(self.in_features, self.hidden_features,
-                           name="fc1")()
+                           kernel_init=self.kernel_init, name="fc1")()
         fc2 = _DenseParams(self.hidden_features, self.out_features,
-                           name="fc2")()
+                           kernel_init=self.kernel_init, name="fc2")()
         return fc1, fc2
 
 

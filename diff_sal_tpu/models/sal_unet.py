@@ -248,6 +248,10 @@ class TransformerBlock(nn.Module):
     kernel_kv: int = 2
     stride_kv: int = 2
     audio_dim: int = 512
+    # fused add+norm2+MLP+add tail (ops/mlp.py), eval only — DropPath and
+    # Dropout are identity when deterministic, so the tail is exactly the
+    # fused composition; training keeps the module path (same param tree)
+    fused_tail: bool = False
     dtype: Optional[jnp.dtype] = None
     act: Callable = gelu_exact
 
@@ -292,6 +296,28 @@ class TransformerBlock(nn.Module):
             dtype=self.dtype,
             name="attn",
         )(attn_in, (H, W), audio_tokens)
+        use_ft = (
+            self.fused_tail
+            and not train
+            and self.act in (gelu_tanh, gelu_exact)
+        )
+        if use_ft:
+            from diff_sal_tpu.models.mvit import _LNParams, _MlpParams
+            from diff_sal_tpu.ops.mlp import fused_block_tail
+
+            hidden = int(C * self.mlp_ratio)
+            ln_scale, ln_bias = _LNParams(C, name="norm2")()
+            (fc1_k, fc1_b), (fc2_k, fc2_b) = _MlpParams(
+                C, hidden, C, kernel_init=salunet_init, name="mlp"
+            )()
+            dt = self.dtype or tokens.dtype
+            out = fused_block_tail(
+                tokens.reshape(-1, C), attn_out.reshape(-1, C),
+                ln_scale, ln_bias, fc1_k.astype(dt), fc1_b,
+                fc2_k.astype(dt), fc2_b, 1e-6,
+                "tanh" if self.act is gelu_tanh else "exact", None,
+            )
+            return out.reshape(B, T, H, W, C)
         tokens = attn_out + tokens
 
         # 2D (rows, C) operands for the MLP dots: XLA:TPU windows
@@ -310,26 +336,64 @@ class TransformerBlock(nn.Module):
         return tokens.reshape(B, T, H, W, C)
 
 
+def _bilinear2x_phases(x: jnp.ndarray) -> jnp.ndarray:
+    """The four polyphase components of the exact 2x bilinear upsample
+    (PyTorch half-pixel, edge-clamped): u[2j]=.25x[j-1]+.75x[j],
+    u[2j+1]=.75x[j]+.25x[j+1] per axis. (Bt,H,W,C) -> (Bt,2,2,H,W,C) with
+    axes 1/2 = (h-parity, w-parity)."""
+    lo = lambda a, ax: jnp.concatenate(  # noqa: E731  x[j-1], edge clamp
+        [jax.lax.slice_in_dim(a, 0, 1, axis=ax),
+         jax.lax.slice_in_dim(a, 0, a.shape[ax] - 1, axis=ax)], axis=ax)
+    hi = lambda a, ax: jnp.concatenate(  # noqa: E731  x[j+1], edge clamp
+        [jax.lax.slice_in_dim(a, 1, a.shape[ax], axis=ax),
+         jax.lax.slice_in_dim(a, a.shape[ax] - 1, a.shape[ax], axis=ax)],
+        axis=ax)
+    he = 0.25 * lo(x, 1) + 0.75 * x
+    ho = 0.75 * x + 0.25 * hi(x, 1)
+    h2 = jnp.stack([he, ho], axis=1)  # (Bt, 2, H, W, C)
+    we = 0.25 * lo(h2, 3) + 0.75 * h2
+    wo = 0.75 * h2 + 0.25 * hi(h2, 3)
+    return jnp.stack([we, wo], axis=2)  # (Bt, 2, 2, H, W, C)
+
+
 class UpEmbed(nn.Module):
     """2x bilinear upsample + two dilated 3x3 conv-BN-ReLU, per frame
-    (reference common_block.py:176-223, up_or_down='up')."""
+    (reference common_block.py:176-223, up_or_down='up').
+
+    phase=True: exact polyphase rewrite. A dilation-2 tap on the
+    2x-upsampled grid only ever reads samples of its own parity, so the
+    whole chain (upsample -> conv -> BN -> relu -> conv -> BN -> relu)
+    never mixes the four (h,w)-parity classes: each output phase is a
+    plain 3x3/pad-1/dilation-1 conv (SAME weights) over the corresponding
+    polyphase plane of the upsample, interleaved back at the end. BN batch
+    statistics are over the identical element set, so this is exact in
+    train mode too. Measured: XLA's dilated-conv emitters run at 7-24% MFU
+    vs 31-38% for the dense dil-1 phase convs (scripts/micro_upembed.py,
+    docs/PERF.md round 3)."""
 
     embed_dim: int
     patch_size: int = 3
     dilation: int = 2
+    phase: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         B, T, H, W, C = x.shape
         frames = x.reshape(B * T, H, W, C)
-        frames = bilinear_resize(frames, (H * 2, W * 2))
+        use_phase = self.phase and self.patch_size == 3 and self.dilation == 2
+        if use_phase:
+            frames = _bilinear2x_phases(frames).reshape(B * T * 4, H, W, C)
+            pad, dil = 1, 1
+        else:
+            frames = bilinear_resize(frames, (H * 2, W * 2))
+            pad, dil = self.dilation, self.dilation
         for i in range(2):
             frames = nn.Conv(
                 self.embed_dim,
                 (self.patch_size, self.patch_size),
-                padding=self.dilation,
-                kernel_dilation=self.dilation,
+                padding=pad,
+                kernel_dilation=dil,
                 use_bias=False,
                 kernel_init=salunet_init,
                 dtype=self.dtype,
@@ -340,6 +404,9 @@ class UpEmbed(nn.Module):
                 dtype=self.dtype, name=f"bn{i}",
             )(frames)
             frames = nn.relu(frames)
+        if use_phase:
+            frames = frames.reshape(B * T, 2, 2, H, W, self.embed_dim)
+            frames = frames.transpose(0, 3, 1, 4, 2, 5)
         return frames.reshape(B, T, H * 2, W * 2, self.embed_dim)
 
 
@@ -379,6 +446,8 @@ class TransformerStage(nn.Module):
     kernel_kv: int
     stride_kv: int
     has_patch_embed: bool
+    upembed_phase: bool = False
+    fused_tail: bool = False
     dtype: Optional[jnp.dtype] = None
     act: Callable = gelu_exact
 
@@ -391,9 +460,10 @@ class TransformerStage(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:
         if self.has_patch_embed:
-            x = UpEmbed(self.embed_dim, dtype=self.dtype, name="patch_embed")(
-                x, train=train
-            )
+            x = UpEmbed(
+                self.embed_dim, phase=self.upembed_phase, dtype=self.dtype,
+                name="patch_embed",
+            )(x, train=train)
             # Reference adds backbone skips for stage 1 and 2 only
             # (transformer.py:265-270) — stage 3 gets none, so back_fea[3]
             # is dead. Stage 0 has no patch_embed at all.
@@ -405,6 +475,7 @@ class TransformerStage(nn.Module):
             drop_path_rate=self.drop_path_rate,
             kernel_kv=self.kernel_kv,
             stride_kv=self.stride_kv,
+            fused_tail=self.fused_tail,
             dtype=self.dtype,
             act=self.act,
             name="block",
@@ -446,6 +517,8 @@ class Decoder(nn.Module):
                 kernel_kv=cfg.kernel_kv[i],
                 stride_kv=cfg.stride_kv[i],
                 has_patch_embed=cfg.patch_size[i] > 0,
+                upembed_phase=cfg.upembed_phase,
+                fused_tail=cfg.fused_tail,
                 dtype=self.dtype,
                 act=gelu_tanh if cfg.gelu == "tanh" else gelu_exact,
                 name=f"stage{i}",

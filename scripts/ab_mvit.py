@@ -53,11 +53,15 @@ def main():
     )
 
     def mk(ov):
+        # "decoder."-prefixed overrides hit SalUNetConfig; bare ones MViTConfig
+        dec = {k[8:]: v for k, v in ov.items() if k.startswith("decoder.")}
+        vis = {k: v for k, v in ov.items() if not k.startswith("decoder.")}
         cfg = dataclasses.replace(
             base,
             visual=dataclasses.replace(
-                base.visual, use_pallas_attention=True, cls_stream=True, **ov
+                base.visual, use_pallas_attention=True, cls_stream=True, **vis
             ),
+            decoder=dataclasses.replace(base.decoder, **dec),
         )
         return VideoSaliencyModel(cfg)
 

@@ -49,6 +49,9 @@ def main():
 
     def mk(ov):
         cfg = audio_visual_experiment()
+        # "decoder."-prefixed overrides hit SalUNetConfig; bare ones MViTConfig
+        dec = {k[8:]: v for k, v in ov.items() if k.startswith("decoder.")}
+        vis = {k: v for k, v in ov.items() if not k.startswith("decoder.")}
         return dataclasses.replace(
             cfg,
             model=dataclasses.replace(
@@ -58,8 +61,9 @@ def main():
                     cfg.model.visual,
                     use_pallas_attention=True,
                     cls_stream=True,
-                    **ov,
+                    **vis,
                 ),
+                decoder=dataclasses.replace(cfg.model.decoder, **dec),
             ),
         )
 

@@ -151,3 +151,80 @@ def test_salunet_jit_compiles_once():
     out1 = f(params, x, t, feats)
     out2 = f(params, x + 1.0, t, feats)
     assert out1.shape == out2.shape == (1, 224, 384, 1)
+
+
+def test_upembed_phase_matches_dense():
+    """UpEmbed(phase=True) — polyphase rewrite of upsample + dilated convs
+    (reference common_block.py:176-223) — is EXACT vs the dense path in
+    f32, in eval and train mode (incl. identical BatchNorm batch stats),
+    with the identical param tree."""
+    from diff_sal_tpu.models.sal_unet import UpEmbed
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 4, 14, 24, 384).astype(np.float32))
+    m0 = UpEmbed(192, phase=False)
+    m1 = UpEmbed(192, phase=True)
+    v0 = m0.init(jax.random.PRNGKey(0), x)
+    v1 = m1.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(
+        v1
+    )
+    y0 = m0.apply(v0, x)
+    y1 = m1.apply(v0, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-4)
+
+    y0t, mut0 = m0.apply(v0, x, train=True, mutable=["batch_stats"])
+    y1t, mut1 = m1.apply(v0, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y1t), np.asarray(y0t), atol=2e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(mut0), jax.tree_util.tree_leaves(mut1)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_upembed_phase_odd_sizes_and_grad():
+    """Phase rewrite stays exact on odd spatial sizes (edge clamping) and
+    under the gradient."""
+    from diff_sal_tpu.models.sal_unet import UpEmbed
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 2, 7, 13, 32).astype(np.float32))
+    m0 = UpEmbed(16, phase=False)
+    m1 = UpEmbed(16, phase=True)
+    v = m0.init(jax.random.PRNGKey(0), x)
+    y0 = m0.apply(v, x)
+    y1 = m1.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-4)
+
+    g0 = jax.grad(lambda v: jnp.sum(m0.apply(v, x) ** 2))(v)
+    g1 = jax.grad(lambda v: jnp.sum(m1.apply(v, x) ** 2))(v)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=2e-3)
+
+
+def test_transformer_block_fused_tail_tree_and_fallback():
+    """TransformerBlock(fused_tail=True) declares the identical param tree
+    and (on CPU, where the kernel falls back to the reference composition)
+    matches the unfused eval output; train mode always takes the module
+    path."""
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 2, 14, 24, 192).astype(np.float32))
+    au = jnp.asarray(rng.randn(1, 2, 7, 12, 512).astype(np.float32))
+    b0 = TransformerBlock(num_heads=2, stride_kv=4, kernel_kv=4)
+    b1 = TransformerBlock(num_heads=2, stride_kv=4, kernel_kv=4,
+                          fused_tail=True)
+    v0 = b0.init(jax.random.PRNGKey(0), x, au)
+    v1 = b1.init(jax.random.PRNGKey(0), x, au)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(
+        v1
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(v0), jax.tree_util.tree_leaves(v1)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    y0 = b0.apply(v0, x, au)
+    y1 = b1.apply(v0, x, au)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
