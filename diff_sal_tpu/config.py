@@ -332,6 +332,10 @@ class SalUNetConfig:
     # only (DropPath/Dropout are identity when deterministic); measured
     # 1.008x e2e, faster in 5/5 interleaved rounds (docs/PERF.md round 3)
     fused_tail: bool = True
+    # CvT kv projections (kernel==stride, pad 0) as reshape + f32 weighted
+    # reduce instead of the depthwise conv emitter (models/sal_unet.py
+    # _PoolTokens — exact, same param tree)
+    pool_reduce: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -150,6 +150,31 @@ class NoiseEncoder(nn.Module):
         return outs[::-1]
 
 
+class _PoolTokens(nn.Module):
+    """Depthwise kernel==stride 'conv' as a reshape + f32 weighted reduce.
+
+    Exact rewrite of nn.Conv(C, (k,k), strides=k, padding=0,
+    feature_group_count=C, use_bias=False) for inputs divisible by k —
+    non-overlapping windows mean every output element is an independent
+    weighted window sum. Param tree/shape/init identical to the nn.Conv
+    ((k, k, 1, C) 'kernel'), so checkpoints are interchangeable."""
+
+    kernel: int
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x_sp: jnp.ndarray) -> jnp.ndarray:
+        k, c = self.kernel, self.features
+        w = self.param("kernel", salunet_init, (k, k, 1, c))
+        Bt, H, W, _ = x_sp.shape
+        dt = self.dtype or x_sp.dtype
+        xv = x_sp.astype(dt).reshape(Bt, H // k, k, W // k, k, c)
+        wv = w.astype(dt).reshape(1, 1, k, 1, k, c)
+        y = jnp.sum(xv * wv, axis=(2, 4), dtype=jnp.float32)
+        return y.astype(dt)
+
+
 class CvTAttention(nn.Module):
     """Cross-modal CvT attention (reference `saliency_decoder/attention.py`).
 
@@ -170,21 +195,41 @@ class CvTAttention(nn.Module):
     stride_kv: int = 2
     padding_kv: int = 0
     qkv_bias: bool = True
+    # kernel==stride kv projections as reshape+reduce (_PoolTokens)
+    pool_reduce: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def _conv_tokens(self, x_sp, kernel, stride, padding, name):
         c = x_sp.shape[-1]
-        y = nn.Conv(
-            c,
-            (kernel, kernel),
-            strides=stride,
-            padding=padding,
-            feature_group_count=c,
-            use_bias=False,
-            kernel_init=salunet_init,
-            dtype=self.dtype,
-            name=f"conv_proj_{name}",
-        )(x_sp)
+        if (
+            self.pool_reduce
+            and kernel == stride
+            and padding == 0
+            and x_sp.shape[1] % kernel == 0
+            and x_sp.shape[2] % kernel == 0
+        ):
+            # kernel==stride, pad 0 -> NON-OVERLAPPING weighted pool: a free
+            # (H,W)->(H/s,s,W/s,s) reshape + f32 weighted reduce instead of
+            # the conv emitter (whose batch-in-sublane layouts force
+            # relayout copies on the decoder stream, docs/PERF.md round 3).
+            # Identical param tree/init as the nn.Conv it replaces
+            # ((k, k, 1, C) depthwise kernel, reference attention.py:35-60).
+            y = _PoolTokens(
+                kernel=kernel, features=c, dtype=self.dtype,
+                name=f"conv_proj_{name}",
+            )(x_sp)
+        else:
+            y = nn.Conv(
+                c,
+                (kernel, kernel),
+                strides=stride,
+                padding=padding,
+                feature_group_count=c,
+                use_bias=False,
+                kernel_init=salunet_init,
+                dtype=self.dtype,
+                name=f"conv_proj_{name}",
+            )(x_sp)
         y = y.reshape(y.shape[0], -1, c)
         return FusedLayerNorm(name=f"norm_{name}")(y)
 
@@ -248,6 +293,8 @@ class TransformerBlock(nn.Module):
     kernel_kv: int = 2
     stride_kv: int = 2
     audio_dim: int = 512
+    # kernel==stride kv projections as reshape+reduce (_PoolTokens)
+    pool_reduce: bool = False
     # fused add+norm2+MLP+add tail (ops/mlp.py), eval only — DropPath and
     # Dropout are identity when deterministic, so the tail is exactly the
     # fused composition; training keeps the module path (same param tree)
@@ -293,6 +340,7 @@ class TransformerBlock(nn.Module):
             num_heads=self.num_heads,
             kernel_kv=self.kernel_kv,
             stride_kv=self.stride_kv,
+            pool_reduce=self.pool_reduce,
             dtype=self.dtype,
             name="attn",
         )(attn_in, (H, W), audio_tokens)
@@ -448,6 +496,7 @@ class TransformerStage(nn.Module):
     has_patch_embed: bool
     upembed_phase: bool = False
     fused_tail: bool = False
+    pool_reduce: bool = False
     dtype: Optional[jnp.dtype] = None
     act: Callable = gelu_exact
 
@@ -475,6 +524,7 @@ class TransformerStage(nn.Module):
             drop_path_rate=self.drop_path_rate,
             kernel_kv=self.kernel_kv,
             stride_kv=self.stride_kv,
+            pool_reduce=self.pool_reduce,
             fused_tail=self.fused_tail,
             dtype=self.dtype,
             act=self.act,
@@ -519,6 +569,7 @@ class Decoder(nn.Module):
                 has_patch_embed=cfg.patch_size[i] > 0,
                 upembed_phase=cfg.upembed_phase,
                 fused_tail=cfg.fused_tail,
+                pool_reduce=cfg.pool_reduce,
                 dtype=self.dtype,
                 act=gelu_tanh if cfg.gelu == "tanh" else gelu_exact,
                 name=f"stage{i}",

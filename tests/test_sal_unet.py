@@ -228,3 +228,31 @@ def test_transformer_block_fused_tail_tree_and_fallback():
     y0 = b0.apply(v0, x, au)
     y1 = b1.apply(v0, x, au)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
+
+
+def test_cvt_pool_reduce_matches_conv():
+    """CvTAttention(pool_reduce=True) — kernel==stride depthwise convs as
+    reshape+weighted-reduce — matches the conv path exactly (f32) with the
+    identical param tree (reference attention.py:35-60 projections)."""
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(4, 28 * 48, 192).astype(np.float32))
+    au = jnp.asarray(rng.randn(4, 28 * 48, 192).astype(np.float32))
+    a0 = CvTAttention(num_heads=2, kernel_kv=8, stride_kv=8)
+    a1 = CvTAttention(num_heads=2, kernel_kv=8, stride_kv=8,
+                      pool_reduce=True)
+    v0 = a0.init(jax.random.PRNGKey(0), x, (28, 48), au)
+    v1 = a1.init(jax.random.PRNGKey(0), x, (28, 48), au)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(
+        v1
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(v0), jax.tree_util.tree_leaves(v1)
+    ):
+        assert a.shape == b.shape
+    y0 = a0.apply(v0, x, (28, 48), au)
+    y1 = a1.apply(v0, x, (28, 48), au)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-5)
+    # and with self-attention (no audio)
+    y0 = a0.apply(v0, x, (28, 48))
+    y1 = a1.apply(v0, x, (28, 48))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-5)
