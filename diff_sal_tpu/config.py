@@ -336,6 +336,12 @@ class SalUNetConfig:
     # reduce instead of the depthwise conv emitter (models/sal_unet.py
     # _PoolTokens — exact, same param tree)
     pool_reduce: bool = False
+    # skip the LAST stage's dead frames: ReduceTemp (kernel/stride 5 VALID
+    # over 9) consumes frames 0-4 only and nothing else reads the final
+    # stage's output, so its attention/MLP over frames 5-8 is dead compute
+    # — EXACT (tests/test_sal_unet.py::test_skip_dead_frames_exact);
+    # measured 1.022x e2e, faster in 5/5 rounds (docs/PERF.md round 3)
+    skip_dead_frames: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -299,6 +299,13 @@ class TransformerBlock(nn.Module):
     # Dropout are identity when deterministic, so the tail is exactly the
     # fused composition; training keeps the module path (same param tree)
     fused_tail: bool = False
+    # compute attention/MLP for only the first keep_frames frames. EXACT
+    # for the LAST decoder stage: ReduceTemp's kernel/stride-5 VALID window
+    # over 9 frames consumes frames 0-4 only (common_block.py:150-173
+    # quirk) and nothing else reads the final stage's output, so its
+    # frames 5-8 are dead compute. The av gate still sees ALL frames (it
+    # averages over the full input before the cut).
+    keep_frames: Optional[int] = None
     dtype: Optional[jnp.dtype] = None
     act: Callable = gelu_exact
 
@@ -310,7 +317,6 @@ class TransformerBlock(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:
         B, T, H, W, C = x.shape
-        frames = x.reshape(B * T, H, W, C)
 
         audio_tokens = None
         if audio is not None:
@@ -334,7 +340,14 @@ class TransformerBlock(nn.Module):
             ac = ac * av
             audio_tokens = _scrambled_audio_tokens(ac)
 
-        tokens = frames.reshape(B * T, H * W, C)
+        if self.keep_frames is not None and self.keep_frames < T:
+            T = self.keep_frames
+            x = x[:, :T]
+            if audio_tokens is not None:
+                audio_tokens = audio_tokens.reshape(
+                    B, -1, H * W, C
+                )[:, :T].reshape(B * T, H * W, C)
+        tokens = x.reshape(B * T, H * W, C)
         attn_in = FusedLayerNorm(name="norm")(tokens)
         attn_out = CvTAttention(
             num_heads=self.num_heads,
@@ -497,6 +510,8 @@ class TransformerStage(nn.Module):
     upembed_phase: bool = False
     fused_tail: bool = False
     pool_reduce: bool = False
+    # last stage only: frames >= keep_frames are dead (see TransformerBlock)
+    keep_frames: Optional[int] = None
     dtype: Optional[jnp.dtype] = None
     act: Callable = gelu_exact
 
@@ -526,6 +541,7 @@ class TransformerStage(nn.Module):
             stride_kv=self.stride_kv,
             pool_reduce=self.pool_reduce,
             fused_tail=self.fused_tail,
+            keep_frames=self.keep_frames,
             dtype=self.dtype,
             act=self.act,
             name="block",
@@ -570,6 +586,11 @@ class Decoder(nn.Module):
                 upembed_phase=cfg.upembed_phase,
                 fused_tail=cfg.fused_tail,
                 pool_reduce=cfg.pool_reduce,
+                keep_frames=(
+                    cfg.temporal_list[i]
+                    if cfg.skip_dead_frames and i == n - 1
+                    else None
+                ),
                 dtype=self.dtype,
                 act=gelu_tanh if cfg.gelu == "tanh" else gelu_exact,
                 name=f"stage{i}",

@@ -256,3 +256,27 @@ def test_cvt_pool_reduce_matches_conv():
     y0 = a0.apply(v0, x, (28, 48))
     y1 = a1.apply(v0, x, (28, 48))
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-5)
+
+
+def test_skip_dead_frames_exact():
+    """skip_dead_frames: the full SalUNet output is identical — the last
+    stage's frames 5-8 never reach ReduceTemp (5-of-9 quirk,
+    reference common_block.py:150-173) or anything else."""
+    import dataclasses
+
+    cfg0 = SalUNetConfig()
+    cfg1 = dataclasses.replace(cfg0, skip_dead_frames=True)
+    m0, m1 = SalUNet(cfg0), SalUNet(cfg1)
+    rng = np.random.RandomState(7)
+    feats = _vis_pyramid(B=1, T=8)
+    audio = jnp.asarray(rng.randn(1, 9, 7, 12, 512).astype(np.float32))
+    x_t = jnp.asarray(rng.randn(1, 224, 384, 1).astype(np.float32))
+    t = jnp.asarray([3.0])
+    v0 = m0.init(jax.random.PRNGKey(0), x_t, t, feats, audio)
+    v1 = m1.init(jax.random.PRNGKey(0), x_t, t, feats, audio)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(
+        v1
+    )
+    y0 = m0.apply(v0, x_t, t, feats, audio)
+    y1 = m1.apply(v0, x_t, t, feats, audio)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-6)
