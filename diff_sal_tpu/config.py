@@ -220,6 +220,12 @@ class MViTConfig:
     # C-sized HBM passes per block become 3. Same param tree; cls_stream +
     # tokens3d + flat_dots, unpadded streams only (falls back otherwise).
     fused_tail: bool = False
+    # qkv projection emitted as a 1x1x1 conv on the 5D stream: the conv
+    # emitter's batch-in-sublane output layout feeds the pool convs
+    # without the row-major -> conv-layout relayout copy of the (B,L,3HD)
+    # qkv tensor (~0.4 ms/block at stage 3, xplane copy.2384). Measured
+    # 1.019x inference / 1.011x train (docs/PERF.md round 3)
+    qkv_conv: bool = True
     # strided-skip max pool lowering: "window" (nn.max_pool) | "phase"
     # (separable phase-split max). Exact equivalents; measured 0.944x for
     # phase at B=8 (docs/PERF.md round 3) — reduce-window wins, default

@@ -631,6 +631,10 @@ class MultiScaleAttention(nn.Module):
     fuse_kv: bool = False
     # "exp2" | "div" kernel softmax formulation (MViTConfig.attn_softmax)
     softmax_mode: str = "exp2"
+    # emit the qkv projection as a 1x1x1 conv on the 5D stream so the conv
+    # emitter's batch-in-sublane output layout feeds the pool convs without
+    # the row-major->conv relayout copy (MViTConfig.qkv_conv)
+    qkv_conv: bool = False
 
     HD_PAD = 128  # padded head dim: one full lane tile
 
@@ -827,12 +831,21 @@ class MultiScaleAttention(nn.Module):
             and int(np.prod(self.stride_kv)) >= 16
         )
         sp_mat = sp.astype(dt)
-        if self.tokens3d and self.flat_dots:
+        use_qkv_conv = self.qkv_conv and not c_skip
+        if self.tokens3d and self.flat_dots and not use_qkv_conv:
             # 2D operand -> plain MXU matmul emission (MViTConfig.flat_dots)
             sp_mat = sp_mat.reshape(-1, in_phys)
         # under fuse_kv the token dot computes only the q columns; cls rows
         # (unpooled) always use the full projection
-        qkv_sp = sp_mat @ (kp[:, :HD] if fuse_kv else kp)
+        if use_qkv_conv:
+            qkv_sp = jax.lax.conv_general_dilated(
+                sp_mat.reshape(B, T, Hh, Ww, in_phys),
+                (kp[:, :HD] if fuse_kv else kp)[None, None, None],
+                (1, 1, 1), [(0, 0)] * 3,
+                dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+            )
+        else:
+            qkv_sp = sp_mat @ (kp[:, :HD] if fuse_kv else kp)
         qkv_cls = cls.astype(dt) @ kp
         bp = None
         if qkv_b is not None:
@@ -855,7 +868,7 @@ class MultiScaleAttention(nn.Module):
             skip_cls = qkv_cls[..., 3 * HD :]
             qkv_sp = qkv_sp[..., : 3 * HD]
             qkv_cls = qkv_cls[..., : 3 * HD]
-        if self.tokens3d:
+        if self.tokens3d and not use_qkv_conv:
             # flat (B, L, 3HD) stream: materialize the 5D view only for the
             # depthwise pool convs so their batch-in-sublane layout
             # preference cannot propagate into the residual-stream matmuls
@@ -1126,6 +1139,8 @@ class MultiScaleBlock(nn.Module):
     softmax_mode: str = "exp2"
     # "window" | "phase" strided-skip max pool (MViTConfig.skip_pool)
     skip_pool_mode: str = "window"
+    # qkv projection as 1x1x1 conv (MViTConfig.qkv_conv)
+    qkv_conv: bool = False
     # MLP activation (MViTConfig.gelu)
     act: Callable = gelu_exact
     # fused add+norm2+MLP+add block tail (ops/mlp.py, MViTConfig.fused_tail)
@@ -1163,6 +1178,7 @@ class MultiScaleBlock(nn.Module):
             cls_stream=self.cls_stream,
             pool_mode=self.pool_mode,
             fuse_kv=self.fuse_kv,
+            qkv_conv=self.qkv_conv,
             softmax_mode=self.softmax_mode,
             in_dims=self.in_dims if pad_in else None,
             out_phys=out_phys if pad_out else None,
@@ -1472,6 +1488,7 @@ class MViT(nn.Module):
                 fuse_kv=cfg.fuse_kv and cls_stream and tokens3d,
                 softmax_mode=cfg.attn_softmax,
                 skip_pool_mode=cfg.skip_pool,
+                qkv_conv=cfg.qkv_conv,
                 act=gelu_tanh if cfg.gelu == "tanh" else gelu_exact,
                 fused_tail=cfg.fused_tail,
                 name=f"blocks_{i}",

@@ -498,3 +498,26 @@ def test_phase_max_pool_matches_window():
         )
         got = _phase_max_pool(x, stride)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_qkv_conv_matches_dot():
+    """MViTConfig(qkv_conv=True) — qkv projection emitted as a 1x1x1 conv —
+    is bit-exact vs the flat dot path on CPU (same params, same outputs)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diff_sal_tpu.config import MViTConfig
+    from diff_sal_tpu.models.mvit import MViT
+
+    m0 = MViT(MViTConfig())
+    m1 = MViT(MViTConfig(qkv_conv=True))
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 16, 64, 96, 3), jnp.float32)
+    p0 = m0.init(rng, x)
+    y0 = m0.apply(p0, x)
+    y1 = m1.apply(p0, x)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(y0), jax.tree_util.tree_leaves(y1)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
