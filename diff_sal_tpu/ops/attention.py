@@ -481,7 +481,21 @@ def _attn_v2_kernel(q_ref, k_ref, v_ref, rel_ref, e_ref, mask_ref, o_ref, *,
     bias = jnp.dot(rel_ref[0], e_ref[...].astype(rel_ref.dtype),
                    preferred_element_type=jnp.float32)
     s = scores + bias + mask_ref[...]
-    if softmax_mode == "exp2":
+    if softmax_mode == "exp2_bf16":
+        # candidate #3 (PERF.md): the (Tq, Lk_pad) max/sub/mul/exp2 chain
+        # in the input dtype — halves the softmax tile's VMEM footprint
+        # and feeds the pv dot without a second convert. Mosaic rejects
+        # bf16 matmul accumulators, so the score/bias dots stay f32 and
+        # one convert pass precedes the chain; the row sum still
+        # accumulates f32 (bf16 accumulation over Lk<=2816 terms of a
+        # ~100s-sized total would lose ~1%).
+        sb = s.astype(q.dtype)
+        m = jnp.max(sb, axis=-1, keepdims=True)
+        e = jnp.exp2((sb - m) * jnp.asarray(LOG2E, sb.dtype))
+        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+        out = jnp.dot(e, v_ref[0],
+                      preferred_element_type=jnp.float32) * r
+    elif softmax_mode == "exp2":
         # VPU-lean softmax: exp2 instead of exp (the hardware approximates
         # exp2 directly; exp lowers to a longer chain) and the row
         # normalization deferred PAST the pv dot — a (Tq, D) multiply

@@ -399,3 +399,34 @@ def test_v2_resident_path_matches_reference():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
     finally:
         attn_mod._RESIDENT_ENABLED = False
+
+
+def test_v2_exp2_bf16_softmax_matches_exp2():
+    """softmax_mode='exp2_bf16' (the bf16 score-chain variant, PERF.md
+    round-3 candidate #3 — measured 0.973x e2e, kept default OFF) must
+    agree with the default exp2 mode to bf16 output rounding: the pv dot
+    consumes bf16 probs in BOTH modes, so the only extra rounding is
+    s - m before exp2."""
+    import jax
+    import jax.numpy as jnp
+
+    from diff_sal_tpu.ops.attention import fused_bias_attention_v2
+
+    B, H, D, Kp = 2, 2, 128, 128
+    kt, kh, kw = 4, 7, 9
+    Lk = 1 + kt * kh * kw
+    Lq = 300
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = (jax.random.normal(ks[0], (B, Lq, H * D)) * 0.5).astype(jnp.bfloat16)
+    k = (jax.random.normal(ks[1], (B, Lk, H * D)) * 0.5).astype(jnp.bfloat16)
+    v = (jax.random.normal(ks[2], (B, Lk, H * D)) * 0.5).astype(jnp.bfloat16)
+    rel = (jax.random.normal(ks[3], (B, Lq, H * Kp)) * 0.1).astype(
+        jnp.bfloat16
+    )
+    args = (q, k, v, rel, (kt, kh, kw), H, 0.09)
+    a = fused_bias_attention_v2(*args, None, True, None, "exp2")
+    b = fused_bias_attention_v2(*args, None, True, None, "exp2_bf16")
+    d = jnp.max(
+        jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))
+    )
+    assert float(d) <= 0.0157, float(d)  # two bf16 ULP at |out|~1
