@@ -53,6 +53,43 @@ def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, c_real: int,
     ).astype(o_ref.dtype)
 
 
+def _ln_pack_kernel(x_ref, scale_ref, bias_ref, seg_ref, o_ref, *,
+                    c_real: int, eps: float):
+    """Packed variant: p rows of C real channels ride ONE (C*p)-lane row
+    (96 -> 384 = 3 full 128-lane tiles — the unpacked 96-channel tile
+    wastes 25% of every lane tile and measured ~2x its HBM floor,
+    docs/PERF.md round 3). Per-segment stats come from one-hot segment
+    matmuls on the MXU: sums = x @ S with S[i, j] = 1 iff lane i belongs
+    to segment j, broadcast back via the transposed contraction."""
+    x = x_ref[...].astype(jnp.float32)
+    seg = seg_ref[...]  # (Cp, p) one-hot, f32
+    sums = jnp.dot(x, seg, preferred_element_type=jnp.float32)
+    sumsq = jnp.dot(x * x, seg, preferred_element_type=jnp.float32)
+    mean = sums / c_real
+    var = jnp.maximum(sumsq / c_real - mean * mean, 0.0)
+    r = jax.lax.rsqrt(var + eps)
+    bcast = lambda s: jax.lax.dot_general(  # noqa: E731
+        s, seg, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = (x - bcast(mean)) * bcast(r)
+    o_ref[...] = (
+        y * scale_ref[...].astype(jnp.float32)
+        + bias_ref[...].astype(jnp.float32)
+    ).astype(o_ref.dtype)
+
+
+def _pack_factor(R: int, C: int, real_dim) -> int:
+    """Smallest p in {2, 4} packing C lanes to a 128 multiple, 0 if none
+    applies (already aligned, ragged row count, or masked real_dim)."""
+    if real_dim is not None or C % 128 == 0:
+        return 0
+    for p in (2, 4):
+        if (C * p) % 128 == 0 and R % p == 0:
+            return p
+    return 0
+
+
 def _ln_reference(x, scale, bias, eps, real_dim=None):
     xf = x.astype(jnp.float32)
     C = x.shape[-1]
@@ -71,6 +108,15 @@ def _ln_reference(x, scale, bias, eps, real_dim=None):
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
         x.dtype
     )
+
+
+# packed-row forward for lane-fractional C (96 -> 3x128). MEASURED NULL
+# on v5e (scripts/micro_ln_pack.py: 1.16 -> 1.28 ms/call on the decoder's
+# (387072, 96) bf16 shape, 0.90x): the per-segment stats ride one-hot
+# matmuls whose N=4 pads to a full 128-wide MXU tile, and that MXU work
+# (~0.19 ms/call) does NOT hide under the DMA — it costs more than the
+# 25% lane waste it removes. Kept equality-tested, default OFF.
+_PACK_ENABLED = False
 
 
 def _row_tile(R: int, c_pad: int, sublane: int) -> int:
@@ -122,6 +168,36 @@ def fused_layernorm(
     x2 = x.reshape(R, C)
     # sublane granularity of the dtype tile (f32 8, bf16 16)
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
+
+    pack_p = _pack_factor(R, C, real_dim) if _PACK_ENABLED else 0
+    if pack_p:
+        Rp, Cp = R // pack_p, C * pack_p
+        r_tile = _row_tile(Rp, Cp, sublane)
+        if r_tile:
+            import numpy as np
+
+            seg = np.zeros((Cp, pack_p), np.float32)
+            seg[np.arange(Cp), np.arange(Cp) // C] = 1.0
+            out = pl.pallas_call(
+                functools.partial(_ln_pack_kernel, c_real=C, eps=eps),
+                grid=(Rp // r_tile,),
+                in_specs=[
+                    pl.BlockSpec((r_tile, Cp), lambda i: (i, 0)),
+                    pl.BlockSpec((1, Cp), lambda i: (0, 0)),
+                    pl.BlockSpec((1, Cp), lambda i: (0, 0)),
+                    pl.BlockSpec((Cp, pack_p), lambda i: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec((r_tile, Cp), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((Rp, Cp), x.dtype),
+                interpret=interpret,
+            )(
+                x2.reshape(Rp, Cp),
+                jnp.tile(scale, pack_p).reshape(1, Cp),
+                jnp.tile(bias, pack_p).reshape(1, Cp),
+                jnp.asarray(seg),
+            )
+            return out.reshape(x.shape)
+
     r_tile = _row_tile(R, _round_up(C, 128), sublane)
     if r_tile == 0:
         # ragged row count: pad rows (lane dim stays untouched)
