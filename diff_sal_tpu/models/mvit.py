@@ -1398,7 +1398,10 @@ def _block_plan(cfg: MViTConfig):
                 emit_scale=stage_of_block.get(i),
             )
         )
-        size = tuple(s // st for s, st in zip(size, stride_q))
+        # q-pool output grid: conv formula (kernel 3, pad 1, stride s) ->
+        # (n - 1) // s + 1 == ceil(n / s); plain floor division diverges on
+        # odd grids (e.g. 3 -> 2, not 1) and the emit reshape consumes these
+        size = tuple((s - 1) // st + 1 for s, st in zip(size, stride_q))
         rel_hw_size = rel_hw_size // stride_q[1]
         dims = out_dims
     return plans
@@ -1462,7 +1465,7 @@ class MViT(nn.Module):
 
         outs = []
         for i, plan in enumerate(_block_plan(cfg)):
-            tokens, size = block_cls(
+            tokens = block_cls(
                 in_dims=plan["in_dims"],
                 out_dims=plan["out_dims"],
                 num_heads=plan["num_heads"],
@@ -1492,7 +1495,16 @@ class MViT(nn.Module):
                 act=gelu_tanh if cfg.gelu == "tanh" else gelu_exact,
                 fused_tail=cfg.fused_tail,
                 name=f"blocks_{i}",
-            )(tokens, size)
+            )(tokens, size)[0]
+            # under cfg.remat the block's returned out_size tuple crosses a
+            # jax.checkpoint boundary and its ints come back as TRACERS —
+            # unusable for the static emit reshape below. The grid is fully
+            # static, so recompute it host-side with the q-pool's own
+            # formula (kernel 3, pad 1, stride s -> ceil(n/s), _pool:43)
+            size = tuple(
+                (n + st - 1) // st
+                for n, st in zip(plan["in_size"], plan["stride_q"])
+            )
             stage = plan["emit_scale"]
             if stage is not None and stage in cfg.out_scales:
                 c_out = plan["out_dims"]

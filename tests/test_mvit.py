@@ -521,3 +521,29 @@ def test_qkv_conv_matches_dot():
         jax.tree_util.tree_leaves(y0), jax.tree_util.tree_leaves(y1)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_mvit_remat_traces_with_static_sizes():
+    """Regression: with cfg.remat the block's returned out_size tuple
+    crosses a jax.checkpoint boundary and comes back as TRACERS; the emit
+    reshape must use the statically recomputed grid instead (mvit.py
+    block loop). Trace-only via eval_shape — no compile needed, and the
+    bug fired at trace time (TypeError: Shapes must be 1D sequences of
+    concrete values)."""
+    cfg = MViTConfig.small(
+        spatial_size=(64, 64), rel_pos_spatial_size=224, remat=True
+    )
+    m = MViT(cfg)
+    x = jnp.zeros((1, 16, 64, 64, 3))
+    shapes = jax.eval_shape(
+        lambda: m.init(jax.random.PRNGKey(0), x)
+    )
+    outs = jax.eval_shape(
+        lambda v: m.apply(v, x), shapes
+    )
+    assert [tuple(o.shape) for o in outs] == [
+        (1, 8, 2, 2, 768),
+        (1, 8, 4, 4, 384),
+        (1, 8, 8, 8, 192),
+        (1, 8, 16, 16, 96),
+    ]
