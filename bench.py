@@ -194,6 +194,9 @@ def main():
                 "value": round(best, 3),
                 "unit": "clips/sec/chip",
                 "vs_baseline": round(best / REF_CLIPS_PER_SEC_4090_EST, 3),
+                "baseline_model": "modeled 115 clips/s, 1x RTX 4090 — "
+                "NOT a measured number (reference publishes none); see "
+                "BASELINE.md",
                 "config": f"ddim_nfe1_b{best_B}_{dtype}",
                 "sweep": sweep,
             }

@@ -212,7 +212,9 @@ class MViTConfig:
     fuse_kv: bool = True
     # attention-kernel softmax formulation: "exp2" (hardware exp2 +
     # post-dot row normalization — the kernel was VPU-bound on the f32
-    # softmax; same math to fp rounding) | "div" (classic softmax)
+    # softmax; same math to fp rounding) | "exp2_bf16" (exp2 with the
+    # score chain in bf16 — measured 0.973x null, kept tested) | "div"
+    # (classic softmax). Validated where consumed (ops/attention.py).
     attn_softmax: str = "exp2"
     # fused block tail (ops/mlp.py): residual add + norm2 + fc1 -> GELU ->
     # fc2 + residual add in ONE Pallas pass — the (R, 4C) MLP hidden

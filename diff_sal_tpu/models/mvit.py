@@ -1499,12 +1499,11 @@ class MViT(nn.Module):
             # under cfg.remat the block's returned out_size tuple crosses a
             # jax.checkpoint boundary and its ints come back as TRACERS —
             # unusable for the static emit reshape below. The grid is fully
-            # static, so recompute it host-side with the q-pool's own
-            # formula (kernel 3, pad 1, stride s -> ceil(n/s), _pool:43)
-            size = tuple(
-                (n + st - 1) // st
-                for n, st in zip(plan["in_size"], plan["stride_q"])
-            )
+            # static, so advance it host-side from the RUNTIME size (the one
+            # PatchEmbed derived from the actual input — not the plan's
+            # config-static in_size, which diverges when the input resolution
+            # differs from cfg.spatial_size) with the q-pool's own formula.
+            size = _pool_out_size(size, plan["stride_q"])
             stage = plan["emit_scale"]
             if stage is not None and stage in cfg.out_scales:
                 c_out = plan["out_dims"]

@@ -268,6 +268,11 @@ class CvTAttention(nn.Module):
         scale = C**-0.5
         attn = jnp.einsum("blhd,bthd->bhlt", q, k) * scale
         attn = jax.nn.softmax(attn, axis=-1)
+        # introspection hook mirroring the reference's messages['attn']
+        # store (attention.py:103): apply with mutable=['intermediates']
+        # (or capture_intermediates) to retrieve per-stage attention maps;
+        # a no-op (DCE'd) otherwise.
+        self.sow("intermediates", "attn", attn)
         out = jnp.einsum("bhlt,bthd->blhd", attn, v).reshape(Bt, -1, C)
         return nn.Dense(
             C, kernel_init=salunet_init, dtype=self.dtype, name="proj"

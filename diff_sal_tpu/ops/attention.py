@@ -604,6 +604,9 @@ def fused_bias_attention_v2(
     softmax_mode "exp2" (default) computes the identical softmax via
     exp2 with post-dot row normalization (VPU-lean, same math to fp
     rounding); "div" is the classic jax.nn.softmax formulation."""
+    if softmax_mode not in ("exp2", "exp2_bf16", "div"):
+        raise ValueError(f"unknown softmax_mode {softmax_mode!r}; "
+                         "expected 'exp2' | 'exp2_bf16' | 'div'")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, Lq, HD = q.shape
@@ -642,7 +645,11 @@ def fused_bias_attention_v2(
         rspec = pl.BlockSpec((1, lq_pad, Kp), lambda b, h: (b, 0, h))
         kernel = functools.partial(
             _attn_v2_resident_kernel, scale=scale, residual=residual,
-            softmax_mode=softmax_mode, q_inner=q_tile,
+            # the resident kernel implements only exp2/div; exp2_bf16's
+            # bf16 score chain normalizes to exp2 (same math, f32 chain)
+            # rather than silently falling into the div branch
+            softmax_mode="exp2" if softmax_mode == "exp2_bf16"
+            else softmax_mode, q_inner=q_tile,
         )
     else:
         grid = (B, H, lq_pad // q_tile)

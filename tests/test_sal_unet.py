@@ -85,6 +85,25 @@ def test_cvt_attention_kv_token_count(stride_kv, hw):
     assert out.shape == tokens.shape
 
 
+def test_cvt_attention_introspection_sow():
+    """The attention-map hook mirrors the reference's messages['attn'] store
+    (attention.py:103): apply with mutable=['intermediates'] yields the
+    post-softmax (B, heads, Lq, Lkv) map; a plain apply returns no extra
+    state and the identical output."""
+    C, hw = 32, (12, 24)
+    m = CvTAttention(num_heads=2, kernel_kv=4, stride_kv=4)
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (2, hw[0] * hw[1], C))
+    params = m.init(jax.random.PRNGKey(0), tokens, hw)
+    out_plain = m.apply(params, tokens, hw)
+    out, state = m.apply(params, tokens, hw, mutable=["intermediates"])
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_plain))
+    (attn,) = state["intermediates"]["attn"]
+    assert attn.shape == (2, 2, hw[0] * hw[1], 18)
+    np.testing.assert_allclose(
+        np.asarray(attn).sum(-1), 1.0, atol=1e-5
+    )
+
+
 def test_transformer_block_with_audio():
     m = TransformerBlock(num_heads=2, kernel_kv=4, stride_kv=4)
     x = jnp.zeros((1, 9, 14, 24, 64))
