@@ -350,6 +350,12 @@ class SalUNetConfig:
     # — EXACT (tests/test_sal_unet.py::test_skip_dead_frames_exact);
     # measured 1.022x e2e, faster in 5/5 rounds (docs/PERF.md round 3)
     skip_dead_frames: bool = True
+    # fused Pallas CvT cross-attention (ops/attention.py
+    # cvt_cross_attention): k/v (18 tokens) resident in VMEM, q streamed in
+    # row tiles, scores/softmax never hit HBM. Eval path only (no vjp;
+    # training and the intermediates introspection hook use the einsum
+    # path). Equality-tested vs the einsum path (tests/test_ops.py).
+    fused_attn: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

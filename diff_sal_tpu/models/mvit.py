@@ -103,6 +103,8 @@ class _PatchProjection(nn.Module):
             return self._s2d(x, kernel, bias, dt)
         if self.mode == "s2d_staged":
             return self._s2d(x, kernel, bias, dt, staged=True)
+        if self.mode == "s2d_nd":
+            return self._s2d_nd(x, kernel, bias, dt)
         if self.mode == "wfold":
             return self._wfold(x, kernel, bias, dt)
         out = jax.lax.conv_general_dilated(
@@ -196,6 +198,46 @@ class _PatchProjection(nn.Module):
             dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
         )
         return out + bias.astype(dt)
+
+    def _s2d_nd(self, x, kernel, bias, dt):
+        """Transpose-free s2d: blockify with a FREE row-major reshape
+        (B,T,H,W,C) -> (B,bt,st,bh,sh,bw,sw*C) — no data movement, unlike
+        _s2d's materialized block transposes (the roofline's single biggest
+        HBM sink: 2.2 GB/iter at B=8, 2.0 GB of it tile padding,
+        docs/PERF.md round 4) — and run the stem as ONE conv over FIVE
+        spatial dims (bt, st, bh, sh, bw) with the s2d-embedded kernel
+        reshaped to (2, st, 2, sh, 2): the "2" axes walk the two-block
+        window (padding (1,0) = the alignment pad), the st/sh axes stride
+        over in-block phases (output extent 1), and (sw, C) fold into the
+        conv features. Same math, same param tree."""
+        B = x.shape[0]
+        in_c = x.shape[-1]
+        st, sh, sw = self.stride
+        for i, (k, s, p) in enumerate(
+            zip(self.kernel_size, self.stride, self.padding)
+        ):
+            assert k <= 2 * s - 1 and p == k // 2, (k, s, p)
+            assert x.shape[1 + i] % s == 0, (x.shape, self.stride)
+        T, H, W = x.shape[1:4]
+        bt, bh, bw = T // st, H // sh, W // sw
+        x7 = x.astype(dt).reshape(B, bt, st, bh, sh, bw, sw * in_c)
+
+        kt, kh, kw = self.kernel_size
+        pt, ph, pw = self.padding
+        emb = kernel.shape[-1]
+        kp = jnp.zeros((2 * st, 2 * sh, 2 * sw, in_c, emb), kernel.dtype)
+        kp = jax.lax.dynamic_update_slice(
+            kp, kernel, (st - pt, sh - ph, sw - pw, 0, 0)
+        )
+        k7 = kp.reshape(2, st, 2, sh, 2, sw * in_c, emb)
+        out = jax.lax.conv_general_dilated(
+            x7,
+            k7.astype(dt),
+            window_strides=(1, st, 1, sh, 1),
+            padding=((1, 0), (0, 0), (1, 0), (0, 0), (1, 0)),
+            dimension_numbers=("NTUHVWC", "TUHVWIO", "NTUHVWC"),
+        )  # (B, bt, 1, bh, 1, bw, emb)
+        return out.reshape(B, bt, bh, bw, emb) + bias.astype(dt)
 
     def _wfold(self, x, kernel, bias, dt):
         """Transpose-free lowering: fold ONLY the minor (W) axis into lanes

@@ -197,6 +197,10 @@ class CvTAttention(nn.Module):
     qkv_bias: bool = True
     # kernel==stride kv projections as reshape+reduce (_PoolTokens)
     pool_reduce: bool = False
+    # fused Pallas attention (ops/attention.py cvt_cross_attention); falls
+    # back to the einsum path when the intermediates collection is mutable
+    # (the attn introspection hook needs the materialized scores)
+    fused_attn: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def _conv_tokens(self, x_sp, kernel, stride, padding, name):
@@ -260,20 +264,30 @@ class CvTAttention(nn.Module):
             dtype=self.dtype, name=n,
         )
         hd = C // self.num_heads
-        q = dense("proj_q")(q).reshape(Bt, -1, self.num_heads, hd)
-        k = dense("proj_k")(k).reshape(Bt, -1, self.num_heads, hd)
-        v = dense("proj_v")(v).reshape(Bt, -1, self.num_heads, hd)
+        q = dense("proj_q")(q)
+        k = dense("proj_k")(k)
+        v = dense("proj_v")(v)
 
         # Reference quirk: scale by full dim, not head dim (attention.py:33).
         scale = C**-0.5
-        attn = jnp.einsum("blhd,bthd->bhlt", q, k) * scale
-        attn = jax.nn.softmax(attn, axis=-1)
-        # introspection hook mirroring the reference's messages['attn']
-        # store (attention.py:103): apply with mutable=['intermediates']
-        # (or capture_intermediates) to retrieve per-stage attention maps;
-        # a no-op (DCE'd) otherwise.
-        self.sow("intermediates", "attn", attn)
-        out = jnp.einsum("bhlt,bthd->blhd", attn, v).reshape(Bt, -1, C)
+        if self.fused_attn and not self.is_mutable_collection(
+            "intermediates"
+        ):
+            from diff_sal_tpu.ops.attention import cvt_cross_attention
+
+            out = cvt_cross_attention(q, k, v, self.num_heads, scale)
+        else:
+            qh = q.reshape(Bt, -1, self.num_heads, hd)
+            kh = k.reshape(Bt, -1, self.num_heads, hd)
+            vh = v.reshape(Bt, -1, self.num_heads, hd)
+            attn = jnp.einsum("blhd,bthd->bhlt", qh, kh) * scale
+            attn = jax.nn.softmax(attn, axis=-1)
+            # introspection hook mirroring the reference's messages['attn']
+            # store (attention.py:103): apply with mutable=['intermediates']
+            # (or capture_intermediates) to retrieve per-stage attention
+            # maps; a no-op (DCE'd) otherwise.
+            self.sow("intermediates", "attn", attn)
+            out = jnp.einsum("bhlt,bthd->blhd", attn, vh).reshape(Bt, -1, C)
         return nn.Dense(
             C, kernel_init=salunet_init, dtype=self.dtype, name="proj"
         )(out)
@@ -300,6 +314,8 @@ class TransformerBlock(nn.Module):
     audio_dim: int = 512
     # kernel==stride kv projections as reshape+reduce (_PoolTokens)
     pool_reduce: bool = False
+    # fused Pallas attention, eval only (no vjp) — see CvTAttention
+    fused_attn: bool = False
     # fused add+norm2+MLP+add tail (ops/mlp.py), eval only — DropPath and
     # Dropout are identity when deterministic, so the tail is exactly the
     # fused composition; training keeps the module path (same param tree)
@@ -359,6 +375,7 @@ class TransformerBlock(nn.Module):
             kernel_kv=self.kernel_kv,
             stride_kv=self.stride_kv,
             pool_reduce=self.pool_reduce,
+            fused_attn=self.fused_attn and not train,
             dtype=self.dtype,
             name="attn",
         )(attn_in, (H, W), audio_tokens)
@@ -515,6 +532,7 @@ class TransformerStage(nn.Module):
     upembed_phase: bool = False
     fused_tail: bool = False
     pool_reduce: bool = False
+    fused_attn: bool = False
     # last stage only: frames >= keep_frames are dead (see TransformerBlock)
     keep_frames: Optional[int] = None
     dtype: Optional[jnp.dtype] = None
@@ -545,6 +563,7 @@ class TransformerStage(nn.Module):
             kernel_kv=self.kernel_kv,
             stride_kv=self.stride_kv,
             pool_reduce=self.pool_reduce,
+            fused_attn=self.fused_attn,
             fused_tail=self.fused_tail,
             keep_frames=self.keep_frames,
             dtype=self.dtype,
@@ -591,6 +610,7 @@ class Decoder(nn.Module):
                 upembed_phase=cfg.upembed_phase,
                 fused_tail=cfg.fused_tail,
                 pool_reduce=cfg.pool_reduce,
+                fused_attn=cfg.fused_attn,
                 keep_frames=(
                     cfg.temporal_list[i]
                     if cfg.skip_dead_frames and i == n - 1

@@ -799,3 +799,109 @@ def _fba2_bwd(k_shape, num_heads, scale, interpret, residual, out_dtype,
 
 
 fused_bias_attention_v2.defvjp(_fba2_fwd, _fba2_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused CvT cross-attention (decoder TransformerBlocks)
+#
+# The decoder's attention (reference saliency_decoder/attention.py:88-106)
+# is extremely kv-poor: every stage pools k/v to S = 3*6 = 18 tokens while q
+# keeps the full grid (84 / 336 / 1344 / 5376 tokens). The XLA einsum path
+# materializes the (Bt, heads, L, S) scores + probabilities in HBM and drags
+# bhlt-layout relayout copies around them (~0.5 ms/stage at B=8,
+# docs/PERF.md round 4). This kernel keeps k/v resident in VMEM (padded
+# 18 -> 128 lanes, masked), streams q in row tiles, and writes only the
+# (L, C) output — scores never exist in HBM. Eval-path only (no vjp).
+# ---------------------------------------------------------------------------
+
+
+def _cvt_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads, scale,
+                     s_real):
+    C = q_ref.shape[-1]
+    hd = C // num_heads
+    s_pad = k_ref.shape[1]
+    col_mask = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1) < s_real,
+        0.0, NEG_INF,
+    ).astype(jnp.float32)
+    outs = []
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh = q_ref[0, :, sl]
+        kh = k_ref[0, :, sl]
+        vh = v_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + col_mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(
+            jax.lax.dot_general(
+                p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _cvt_q_tile(L: int, cap: int = 1024) -> int:
+    """Largest multiple-of-8 tile <= cap that divides L exactly (zero row
+    padding when possible); else the smallest 8-multiple covering L."""
+    for tl in range(min(cap, _round_up(L, 8)), 7, -8):
+        if L % tl == 0:
+            return tl
+    return _round_up(L, 8)
+
+
+def reference_cvt_attention(q, k, v, num_heads, scale):
+    """XLA reference: the einsum path of models/sal_unet.py CvTAttention."""
+    Bt, L, C = q.shape
+    hd = C // num_heads
+    qh = q.reshape(Bt, -1, num_heads, hd)
+    kh = k.reshape(Bt, -1, num_heads, hd)
+    vh = v.reshape(Bt, -1, num_heads, hd)
+    attn = jnp.einsum("blhd,bthd->bhlt", qh, kh) * scale
+    attn = jax.nn.softmax(attn, axis=-1)
+    return jnp.einsum("bhlt,bthd->blhd", attn, vh).reshape(Bt, L, C)
+
+
+def cvt_cross_attention(q, k, v, num_heads, scale, interpret=None):
+    """Fused decoder cross-attention: softmax(q k^T * scale) v.
+
+    q (Bt, L, C); k, v (Bt, S, C) with small S (18 in the shipping config);
+    heads split C. Returns (Bt, L, C). Numerics: f32 scores/softmax with a
+    row-max shift (the einsum path computes softmax in f32 too when inputs
+    are bf16 — XLA upcasts reductions); equality vs the einsum path is
+    bf16-tolerance, tested in tests/test_ops.py.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Bt, L, C = q.shape
+    S = k.shape[1]
+    assert C % num_heads == 0, (C, num_heads)
+    s_pad = 128
+    assert S <= s_pad, S
+    tl = _cvt_q_tile(L)
+    l_pad = _round_up(L, tl)
+    if l_pad != L:
+        q = jnp.pad(q, ((0, 0), (0, l_pad - L), (0, 0)))
+    k = jnp.pad(k, ((0, 0), (0, s_pad - S), (0, 0)))
+    v = jnp.pad(v, ((0, 0), (0, s_pad - S), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _cvt_attn_kernel, num_heads=num_heads, scale=scale, s_real=S
+        ),
+        grid=(Bt, l_pad // tl),
+        in_specs=[
+            pl.BlockSpec((1, tl, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, s_pad, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, s_pad, C), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tl, C), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bt, l_pad, C), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :L] if l_pad != L else out

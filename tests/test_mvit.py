@@ -86,6 +86,7 @@ def test_patch_embed_modes_equal():
     m_pat = PatchEmbed3D(32, mode="patches")
     m_s2d = PatchEmbed3D(32, mode="s2d")
     m_stg = PatchEmbed3D(32, mode="s2d_staged")
+    m_nd = PatchEmbed3D(32, mode="s2d_nd")
     m_wf = PatchEmbed3D(32, mode="wfold")
     # explicit-pad variants (stem_fold_pad=False) must agree too
     m_s2d_ep = PatchEmbed3D(32, mode="s2d", fold_pad=False)
@@ -95,11 +96,13 @@ def test_patch_embed_modes_equal():
     o_pat, s_pat = m_pat.apply(v, x)
     o_s2d, s_s2d = m_s2d.apply(v, x)
     o_stg, s_stg = m_stg.apply(v, x)
+    o_nd, s_nd = m_nd.apply(v, x)
     o_wf, s_wf = m_wf.apply(v, x)
-    assert s_conv == s_pat == s_s2d == s_stg == s_wf == (4, 8, 12)
+    assert s_conv == s_pat == s_s2d == s_stg == s_nd == s_wf == (4, 8, 12)
     np.testing.assert_allclose(np.asarray(o_pat), np.asarray(o_conv), atol=2e-5)
     np.testing.assert_allclose(np.asarray(o_s2d), np.asarray(o_conv), atol=2e-5)
     np.testing.assert_allclose(np.asarray(o_stg), np.asarray(o_conv), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(o_nd), np.asarray(o_conv), atol=2e-5)
     np.testing.assert_allclose(np.asarray(o_wf), np.asarray(o_conv), atol=2e-5)
     for m_ep, o_fold in ((m_s2d_ep, o_s2d), (m_stg_ep, o_stg)):
         o_ep, s_ep = m_ep.apply(v, x)

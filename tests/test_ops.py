@@ -463,3 +463,34 @@ def test_fused_layernorm_packed_rows():
     want = ln._ln_reference(x, scale, bias, 1e-6)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
+
+
+@pytest.mark.parametrize("L,C,heads,dt", [
+    (84, 768, 2, "float32"),     # stage 0 (L % 8 != 0: row-padding path)
+    (336, 384, 2, "bfloat16"),   # stage 1
+    (5376, 96, 2, "bfloat16"),   # stage 3 (multi-tile grid)
+    (64, 96, 3, "float32"),      # head count that doesn't divide 128
+])
+def test_cvt_cross_attention_matches_einsum(L, C, heads, dt):
+    """Fused decoder CvT attention (kv-resident Pallas kernel) vs the plain
+    einsum path of models/sal_unet.py CvTAttention."""
+    import jax
+
+    from diff_sal_tpu.ops.attention import (
+        cvt_cross_attention,
+        reference_cvt_attention,
+    )
+
+    Bt, S = 5, 18
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (Bt, L, C), dtype=dt)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (Bt, S, C), dtype=dt)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (Bt, S, C), dtype=dt)
+    scale = C**-0.5
+    ref = reference_cvt_attention(q, k, v, heads, scale)
+    out = cvt_cross_attention(q, k, v, heads, scale, interpret=True)
+    assert out.shape == (Bt, L, C) and out.dtype == q.dtype
+    atol = 2e-2 if dt == "bfloat16" else 2e-5
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=atol
+    )

@@ -268,3 +268,104 @@ def test_converter_roundtrip_through_reference():
             np.asarray(v), sd["decoder_net." + k].numpy(), atol=1e-6,
             err_msg=k,
         )
+
+@pytest.mark.slow
+def test_shipping_defaults_parity_bound():
+    """E2E delta of the AS-SHIPPED default stack vs the exact path and vs
+    the converted torch reference (VERDICT r3 item 5).
+
+    The per-lever equality tests bound each default-ON perf lever in
+    isolation (tanh GELU ~1 bf16 ULP, exp2 softmax, fuse_kv, qkv_conv,
+    skip_dead_frames, fused decoder tail are exact); this test bounds the
+    COMPOSED stack end-to-end — the number the <=1% metric-delta north
+    star (BASELINE.json) actually constrains. Three forwards share one
+    converted param tree on a fixed batch at the reference shape contract
+    (SURVEY.md 3.5):
+
+      ref      torch reference, f32 (exact erf GELU)
+      exact    our model, gelu="exact", f32
+      shipped  our model, ALL defaults as bench.py ships them, bf16
+
+    Asserts (tolerances = measured headroom ~2x, values in the assert
+    messages are the documented measurement):
+      - max|shipped - ref| absolute bound on the raw denoiser output
+      - CC/SIM between normalized saliency maps >= 0.99 / 0.97
+      - NSS relative delta <= 1% against fixations drawn from the
+        reference map's own top-0.3% pixels
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from diff_sal_tpu.config import ModelConfig
+    from diff_sal_tpu.metrics.saliency import CC, NSS, SIM, normalize_map
+    from diff_sal_tpu.models.diff_model import VideoSaliencyModel
+    from diff_sal_tpu.train.convert import convert_video_saliency_model
+
+    ref = _ref_model()
+    variables = jax.tree.map(
+        jnp.asarray, convert_video_saliency_model(ref.state_dict())
+    )
+
+    rng = np.random.RandomState(42)
+    img = rng.randn(1, 3, 16, 224, 384).astype(np.float32) * 0.5
+    audio = rng.randn(1, 1, 9, 112, 192).astype(np.float32)
+    x_t = rng.randn(1, 1, 224, 384).astype(np.float32)
+    t = np.asarray([7.0], np.float32)
+
+    with torch.no_grad():
+        ref_out = ref(
+            {
+                "img": torch.from_numpy(img),
+                "input": torch.from_numpy(x_t),
+                "audio": torch.from_numpy(audio),
+            },
+            torch.from_numpy(t),
+        ).numpy()[:, 0]  # (1, 224, 384)
+
+    rgb = jnp.asarray(np.transpose(img, (0, 2, 3, 4, 1)))
+    aud = jnp.asarray(np.transpose(audio, (0, 2, 3, 4, 1)))
+    x = jnp.asarray(np.transpose(x_t, (0, 2, 3, 1)))
+    batch = {"rgb": rgb, "input": x, "audio": aud}
+
+    def run(cfg):
+        model = VideoSaliencyModel(cfg)
+        out = model.apply(variables, batch, jnp.asarray(t))
+        return np.asarray(out, np.float32)[..., 0]  # (1, 224, 384)
+
+    cfg = ModelConfig.audio_visual()  # ALL perf defaults ON, f32
+    exact = run(
+        dataclasses.replace(
+            cfg,
+            visual=dataclasses.replace(cfg.visual, gelu="exact"),
+            decoder=dataclasses.replace(cfg.decoder, gelu="exact"),
+        )
+    )
+    shipped = run(dataclasses.replace(cfg, compute_dtype="bfloat16"))
+
+    # (a) raw-output bounds; print the measured numbers for the record
+    d_exact = float(np.abs(exact - ref_out).max())
+    d_ship = float(np.abs(shipped - ref_out).max())
+    scale = float(np.abs(ref_out).max())
+    print(f"max|exact-ref|={d_exact:.3e}  max|shipped-ref|={d_ship:.3e}  "
+          f"|ref|max={scale:.3f}")
+    assert d_exact < 1e-3, f"exact-mode f32 drift {d_exact}"
+    assert d_ship < 0.25, f"shipped bf16 stack drift {d_ship}"
+
+    # (b) metric deltas on normalized maps — the north-star quantity
+    m_ref = normalize_map(ref_out[0])
+    m_ship = normalize_map(shipped[0])
+    cc = CC(m_ship, m_ref)
+    sim = SIM(m_ship, m_ref)
+    # fixations: top 0.3% pixels of the reference map
+    thr = np.quantile(ref_out[0], 0.997)
+    fix = (ref_out[0] >= thr).astype(np.float32)
+    nss_ref = NSS(normalize_map(exact[0]), fix)
+    nss_ship = NSS(m_ship, fix)
+    rel = abs(nss_ship - nss_ref) / max(abs(nss_ref), 1e-6)
+    print(f"CC={cc:.5f} SIM={sim:.5f} NSS ref={nss_ref:.4f} "
+          f"shipped={nss_ship:.4f} rel={rel:.4%}")
+    assert cc >= 0.99, f"CC(shipped, ref) = {cc}"
+    assert sim >= 0.97, f"SIM(shipped, ref) = {sim}"
+    assert rel <= 0.01, f"NSS relative delta {rel:.4%} > 1%"
