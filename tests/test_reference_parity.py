@@ -350,8 +350,10 @@ def test_shipping_defaults_parity_bound():
     scale = float(np.abs(ref_out).max())
     print(f"max|exact-ref|={d_exact:.3e}  max|shipped-ref|={d_ship:.3e}  "
           f"|ref|max={scale:.3f}")
-    assert d_exact < 1e-3, f"exact-mode f32 drift {d_exact}"
-    assert d_ship < 0.25, f"shipped bf16 stack drift {d_ship}"
+    # measured 2026-08 (fixed seed 42): exact 2.99e-5, shipped 5.47e-4 on
+    # |ref|max 0.52 — bounds are ~10x the measurement
+    assert d_exact < 3e-4, f"exact-mode f32 drift {d_exact}"
+    assert d_ship < 5e-3, f"shipped bf16 stack drift {d_ship}"
 
     # (b) metric deltas on normalized maps — the north-star quantity
     m_ref = normalize_map(ref_out[0])
@@ -366,6 +368,7 @@ def test_shipping_defaults_parity_bound():
     rel = abs(nss_ship - nss_ref) / max(abs(nss_ref), 1e-6)
     print(f"CC={cc:.5f} SIM={sim:.5f} NSS ref={nss_ref:.4f} "
           f"shipped={nss_ship:.4f} rel={rel:.4%}")
-    assert cc >= 0.99, f"CC(shipped, ref) = {cc}"
-    assert sim >= 0.97, f"SIM(shipped, ref) = {sim}"
+    # measured: CC 0.99965, SIM 0.99736, NSS rel delta 0.2015%
+    assert cc >= 0.995, f"CC(shipped, ref) = {cc}"
+    assert sim >= 0.99, f"SIM(shipped, ref) = {sim}"
     assert rel <= 0.01, f"NSS relative delta {rel:.4%} > 1%"
