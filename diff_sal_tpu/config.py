@@ -350,6 +350,16 @@ class SalUNetConfig:
     # — EXACT (tests/test_sal_unet.py::test_skip_dead_frames_exact);
     # measured 1.022x e2e, faster in 5/5 rounds (docs/PERF.md round 3)
     skip_dead_frames: bool = True
+    # extend the dead-frame cut to EVERY stage, not just the last: each
+    # stage's ReduceTemp (kernel/stride-5 VALID over 9 frames) consumes
+    # frames 0-4 only, and all decoder compute is frame-local EXCEPT the
+    # av gate's time-mean — so cutting frames 5-8 at stage 0's output is
+    # exact for every consumer but the downstream gates, which then
+    # average 5 frames instead of 9. APPROXIMATE (unlike skip_dead_frames
+    # alone, which is exact); measured end-to-end CC/SIM/NSS deltas vs the
+    # torch reference are in tests/test_reference_parity.py /
+    # docs/PERF.md round 4.
+    skip_dead_frames_all: bool = False
     # fused Pallas CvT cross-attention (ops/attention.py
     # cvt_cross_attention): k/v (18 tokens) resident in VMEM, q streamed in
     # row tiles, scores/softmax never hit HBM. Eval path only (no vjp;

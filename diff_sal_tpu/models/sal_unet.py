@@ -341,6 +341,11 @@ class TransformerBlock(nn.Module):
 
         audio_tokens = None
         if audio is not None:
+            # when an upstream dead-frame cut shortened x (see
+            # skip_dead_frames_all), the audio stream follows frame-for-
+            # frame; the av gate below then averages the surviving frames
+            if audio.shape[1] > T:
+                audio = audio[:, :T]
             ac = nn.Conv(
                 C, (1, 1), kernel_init=salunet_init, dtype=self.dtype,
                 name="align_conv",
@@ -533,7 +538,8 @@ class TransformerStage(nn.Module):
     fused_tail: bool = False
     pool_reduce: bool = False
     fused_attn: bool = False
-    # last stage only: frames >= keep_frames are dead (see TransformerBlock)
+    # frames >= keep_frames are cut before attn/MLP (see TransformerBlock);
+    # last stage by default (exact), every stage with skip_dead_frames_all
     keep_frames: Optional[int] = None
     dtype: Optional[jnp.dtype] = None
     act: Callable = gelu_exact
@@ -553,9 +559,11 @@ class TransformerStage(nn.Module):
             )(x, train=train)
             # Reference adds backbone skips for stage 1 and 2 only
             # (transformer.py:265-270) — stage 3 gets none, so back_fea[3]
-            # is dead. Stage 0 has no patch_embed at all.
+            # is dead. Stage 0 has no patch_embed at all. The skip is
+            # frame-local, so when an upstream dead-frame cut shortened x
+            # (skip_dead_frames_all) slicing the skip to match is exact.
             if self.stage_idx in (1, 2):
-                x = x + back_fea[self.stage_idx]
+                x = x + back_fea[self.stage_idx][:, : x.shape[1]]
         x = TransformerBlock(
             num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio,
@@ -613,7 +621,8 @@ class Decoder(nn.Module):
                 fused_attn=cfg.fused_attn,
                 keep_frames=(
                     cfg.temporal_list[i]
-                    if cfg.skip_dead_frames and i == n - 1
+                    if cfg.skip_dead_frames
+                    and (i == n - 1 or cfg.skip_dead_frames_all)
                     else None
                 ),
                 dtype=self.dtype,

@@ -570,6 +570,11 @@ def _attn_v2_resident_kernel(q_ref, k_ref, v_ref, rel_ref, e_ref, mask_ref,
 _RESIDENT_Q_INNER = 256
 _RESIDENT_ENABLED = False
 
+# backward kernel writes dq/drel in the INPUT dtype (bit-identical to the
+# f32-output + XLA astype path; see _fba2_bwd). False restores f32 outputs
+# for the A/B harness.
+_BWD_NATIVE_OUT = True
+
 
 def _use_resident(lq_pad: int, lk_pad: int, D: int, Kp: int) -> bool:
     if not _RESIDENT_ENABLED or lk_pad < 1024:
@@ -773,7 +778,16 @@ def _fba2_bwd(k_shape, num_heads, scale, interpret, residual, out_dtype,
     rspec = pl.BlockSpec((1, q_tile, Kp), lambda b, h, i: (b, i, h))
     cspec = lambda r, c: pl.BlockSpec((r, c), lambda b, h, i: (0, 0))  # noqa: E731
 
+    # dq/drel are written ONCE per q-tile (no cross-tile accumulation), so
+    # the kernel emits them in the INPUT dtype directly — bit-identical to
+    # the old f32-output + XLA astype (same f32 value, same rounding), but
+    # the f32 round trip (176 MB for block-0 dq at B=8) and the standalone
+    # convert pass never touch HBM. dk/dv accumulate f32 across the
+    # sequential q grid and stay f32 outputs (they are kv-pool-sized).
+    # _BWD_NATIVE_OUT exists for the A/B harness (scripts/ab_train_attnbwd).
     f32 = jnp.float32
+    dq_dt = q.dtype if _BWD_NATIVE_OUT else f32
+    drel_dt = rel.dtype if _BWD_NATIVE_OUT else f32
     dq, dk, dv, drel = pl.pallas_call(
         functools.partial(_attn_v2_bwd_kernel, scale=scale,
                           residual=residual),
@@ -782,10 +796,10 @@ def _fba2_bwd(k_shape, num_heads, scale, interpret, residual, out_dtype,
                   cspec(Kp, lk_pad), cspec(1, lk_pad), qspec],
         out_specs=[qspec, kvspec, kvspec, rspec],
         out_shape=[
-            jax.ShapeDtypeStruct((B, lq_pad, HD), f32),
+            jax.ShapeDtypeStruct((B, lq_pad, HD), dq_dt),
             jax.ShapeDtypeStruct((B, lk_pad, HD), f32),
             jax.ShapeDtypeStruct((B, lk_pad, HD), f32),
-            jax.ShapeDtypeStruct((B, lq_pad, H * Kp), f32),
+            jax.ShapeDtypeStruct((B, lq_pad, H * Kp), drel_dt),
         ],
         interpret=interpret,
     )(q, kp, vp, rel, jnp.asarray(E), jnp.asarray(maskrow), g)

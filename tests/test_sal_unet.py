@@ -283,7 +283,7 @@ def test_skip_dead_frames_exact():
     reference common_block.py:150-173) or anything else."""
     import dataclasses
 
-    cfg0 = SalUNetConfig()
+    cfg0 = dataclasses.replace(SalUNetConfig(), skip_dead_frames=False)
     cfg1 = dataclasses.replace(cfg0, skip_dead_frames=True)
     m0, m1 = SalUNet(cfg0), SalUNet(cfg1)
     rng = np.random.RandomState(7)
@@ -299,3 +299,34 @@ def test_skip_dead_frames_exact():
     y0 = m0.apply(v0, x_t, t, feats, audio)
     y1 = m1.apply(v0, x_t, t, feats, audio)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-6)
+
+
+def test_skip_dead_frames_all_close():
+    """skip_dead_frames_all cuts frames 5-8 at EVERY stage. All decoder
+    compute is frame-local except the av gate's time-mean, so the output
+    differs only through the downstream gates averaging 5 frames instead
+    of 9 — assert the same param tree and a small bounded output delta
+    (the e2e CC/NSS/SIM bound lives in the parity suite / PERF.md)."""
+    import dataclasses
+
+    cfg0 = SalUNetConfig()  # skip_dead_frames=True (exact last-stage cut)
+    cfg1 = dataclasses.replace(cfg0, skip_dead_frames_all=True)
+    m0, m1 = SalUNet(cfg0), SalUNet(cfg1)
+    rng = np.random.RandomState(7)
+    feats = _vis_pyramid(B=1, T=8)
+    audio = jnp.asarray(rng.randn(1, 9, 7, 12, 512).astype(np.float32))
+    x_t = jnp.asarray(rng.randn(1, 224, 384, 1).astype(np.float32))
+    t = jnp.asarray([3.0])
+    v0 = m0.init(jax.random.PRNGKey(0), x_t, t, feats, audio)
+    v1 = m1.init(jax.random.PRNGKey(0), x_t, t, feats, audio)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(
+        v1
+    )
+    y0 = np.asarray(m0.apply(v0, x_t, t, feats, audio))
+    y1 = np.asarray(m1.apply(v0, x_t, t, feats, audio))
+    d = np.abs(y1 - y0).max()
+    s = np.abs(y0).max()
+    assert d > 0  # the gate path really changed
+    assert d < 0.05 * max(s, 1.0), (d, s)
+    cc = np.corrcoef(y0.ravel(), y1.ravel())[0, 1]
+    assert cc > 0.999, cc
