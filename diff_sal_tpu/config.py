@@ -350,16 +350,20 @@ class SalUNetConfig:
     # — EXACT (tests/test_sal_unet.py::test_skip_dead_frames_exact);
     # measured 1.022x e2e, faster in 5/5 rounds (docs/PERF.md round 3)
     skip_dead_frames: bool = True
-    # extend the dead-frame cut to EVERY stage, not just the last: each
+    # extend the dead-frame cut to EVERY stage, not just the last (EVAL
+    # path only — training keeps the reference's full-frame graph): each
     # stage's ReduceTemp (kernel/stride-5 VALID over 9 frames) consumes
     # frames 0-4 only, and all decoder compute is frame-local EXCEPT the
-    # av gate's time-mean — so cutting frames 5-8 at stage 0's output is
-    # exact for every consumer but the downstream gates, which then
-    # average 5 frames instead of 9. APPROXIMATE (unlike skip_dead_frames
-    # alone, which is exact); measured end-to-end CC/SIM/NSS deltas vs the
-    # torch reference are in tests/test_reference_parity.py /
-    # docs/PERF.md round 4.
-    skip_dead_frames_all: bool = False
+    # av gate's time-mean — so cutting frames 5-8 (frame 8 is the
+    # concatenated noise-pyramid frame) at stage 0's output is exact for
+    # every consumer but the downstream gates, which then average 5 frames
+    # instead of 9 (the stage-0 gate stays exact). APPROXIMATE (unlike
+    # skip_dead_frames alone): measured 1.099x e2e (70.3 -> 63.9 ms/iter
+    # B=8), max|Δ| 0.0039 on the final saliency map; end-to-end
+    # CC/SIM/NSS deltas vs the torch reference measured in
+    # tests/test_reference_parity.py::test_shipping_defaults_parity_bound
+    # (docs/PERF.md round 4)
+    skip_dead_frames_all: bool = True
     # fused Pallas CvT cross-attention (ops/attention.py
     # cvt_cross_attention): k/v (18 tokens) resident in VMEM, q streamed in
     # row tiles, scores/softmax never hit HBM. Eval path only (no vjp;

@@ -622,7 +622,10 @@ class Decoder(nn.Module):
                 keep_frames=(
                     cfg.temporal_list[i]
                     if cfg.skip_dead_frames
-                    and (i == n - 1 or cfg.skip_dead_frames_all)
+                    and (
+                        i == n - 1
+                        or (cfg.skip_dead_frames_all and not train)
+                    )
                     else None
                 ),
                 dtype=self.dtype,

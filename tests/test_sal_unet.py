@@ -283,7 +283,12 @@ def test_skip_dead_frames_exact():
     reference common_block.py:150-173) or anything else."""
     import dataclasses
 
-    cfg0 = dataclasses.replace(SalUNetConfig(), skip_dead_frames=False)
+    cfg0 = dataclasses.replace(
+        SalUNetConfig(),
+        skip_dead_frames=False,
+        skip_dead_frames_all=False,  # the _all cut is approximate; this
+        # test asserts the LAST-stage cut alone is exact
+    )
     cfg1 = dataclasses.replace(cfg0, skip_dead_frames=True)
     m0, m1 = SalUNet(cfg0), SalUNet(cfg1)
     rng = np.random.RandomState(7)
@@ -309,7 +314,7 @@ def test_skip_dead_frames_all_close():
     (the e2e CC/NSS/SIM bound lives in the parity suite / PERF.md)."""
     import dataclasses
 
-    cfg0 = SalUNetConfig()  # skip_dead_frames=True (exact last-stage cut)
+    cfg0 = dataclasses.replace(SalUNetConfig(), skip_dead_frames_all=False)
     cfg1 = dataclasses.replace(cfg0, skip_dead_frames_all=True)
     m0, m1 = SalUNet(cfg0), SalUNet(cfg1)
     rng = np.random.RandomState(7)
