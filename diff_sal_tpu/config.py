@@ -228,6 +228,12 @@ class MViTConfig:
     # qkv tensor (~0.4 ms/block at stage 3, xplane copy.2384). Measured
     # 1.019x inference / 1.011x train (docs/PERF.md round 3)
     qkv_conv: bool = True
+    # int8 quantization of the block MLP fc1/fc2 kernels (eval-time
+    # deployment transform, ops/quant.py): "none" | "w8" (int8 weights,
+    # per-out-channel scales, bf16 MACs) | "w8a8" (+ dynamic per-row
+    # activation quant, native int8 MXU). Quantized trees come from
+    # quantize_like over an fp tree; forces the plain-Mlp block tail.
+    mlp_quant: str = "none"
     # strided-skip max pool lowering: "window" (nn.max_pool) | "phase"
     # (separable phase-split max). Exact equivalents; measured 0.944x for
     # phase at B=8 (docs/PERF.md round 3) — reduce-window wins, default

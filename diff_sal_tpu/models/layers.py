@@ -71,7 +71,11 @@ class DropPath(nn.Module):
 
 
 class Mlp(nn.Module):
-    """Linear -> act -> Linear (+dropout) on the trailing feature axis."""
+    """Linear -> act -> Linear (+dropout) on the trailing feature axis.
+
+    quant: "none" | "w8" | "w8a8" — eval-time int8 storage of the fc
+    kernels (ops/quant.py). The quantized tree is produced from an fp
+    tree by quantize_like; the param NAMES stay fc1/fc2."""
 
     hidden_features: int
     out_features: Optional[int] = None
@@ -79,20 +83,26 @@ class Mlp(nn.Module):
     dropout: float = 0.0
     kernel_init: Callable = salunet_init
     dtype: Optional[jnp.dtype] = None
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         out_features = self.out_features or x.shape[-1]
-        x = nn.Dense(
-            self.hidden_features, kernel_init=self.kernel_init,
-            dtype=self.dtype, name="fc1",
-        )(x)
+        if self.quant != "none":
+            from diff_sal_tpu.ops.quant import QuantDense
+
+            dense = lambda feat, name: QuantDense(  # noqa: E731
+                feat, mode=self.quant, dtype=self.dtype, name=name
+            )
+        else:
+            dense = lambda feat, name: nn.Dense(  # noqa: E731
+                feat, kernel_init=self.kernel_init, dtype=self.dtype,
+                name=name,
+            )
+        x = dense(self.hidden_features, "fc1")(x)
         x = self.act(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(
-            out_features, kernel_init=self.kernel_init, dtype=self.dtype,
-            name="fc2",
-        )(x)
+        x = dense(out_features, "fc2")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x
 

@@ -1187,6 +1187,8 @@ class MultiScaleBlock(nn.Module):
     act: Callable = gelu_exact
     # fused add+norm2+MLP+add block tail (ops/mlp.py, MViTConfig.fused_tail)
     fused_tail: bool = False
+    # int8 MLP kernels (MViTConfig.mlp_quant): "none" | "w8" | "w8a8"
+    mlp_quant: str = "none"
 
     @nn.compact
     def __call__(self, x, in_size: Tuple[int, int, int]):
@@ -1235,6 +1237,7 @@ class MultiScaleBlock(nn.Module):
             and self.flat_dots
             and not (pad_in or pad_out)
             and self.act in (gelu_tanh, gelu_exact)
+            and self.mlp_quant == "none"
         )
         if use_ft:
             # same param tree as FusedLayerNorm("norm2") + Mlp("mlp"); the
@@ -1283,6 +1286,7 @@ class MultiScaleBlock(nn.Module):
                 act=self.act,
                 kernel_init=vit_init,
                 dtype=self.dtype,
+                quant=self.mlp_quant,
                 name="mlp",
             )
         fold = (
@@ -1536,6 +1540,7 @@ class MViT(nn.Module):
                 qkv_conv=cfg.qkv_conv,
                 act=gelu_tanh if cfg.gelu == "tanh" else gelu_exact,
                 fused_tail=cfg.fused_tail,
+                mlp_quant=cfg.mlp_quant,
                 name=f"blocks_{i}",
             )(tokens, size)[0]
             # under cfg.remat the block's returned out_size tuple crosses a
