@@ -376,6 +376,14 @@ class SalUNetConfig:
     # training and the intermediates introspection hook use the einsum
     # path). Equality-tested vs the einsum path (tests/test_ops.py).
     fused_attn: bool = False
+    # restructured mt_proj head (EVAL only, BN running stats folded):
+    # conv3x3 and bilinear resize are both linear, so the 9-tap channel
+    # contraction runs at each task's LOW resolution (~3x fewer MACs —
+    # the tasks sum to ~TH*TW/3 pixels) and the 3x3 shifts ride the
+    # resize matrices; the (TH,TW,768) accumulator never exists
+    # (ops/resize.py resize_sum_conv_relu_lowres). Exact rewrite up to
+    # float associativity, equality-tested (tests/test_ops.py).
+    head_lowres: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

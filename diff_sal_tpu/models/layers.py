@@ -126,6 +126,9 @@ class ConvBNRelu(nn.Module):
     # emitter + single-pass resize_sum win; docs/PERF.md round 3). Kept
     # implemented + equality-tested, default OFF.
     fused_head: bool = False
+    # eval-only conv-at-low-res restructure (SalUNetConfig.head_lowres,
+    # ops/resize.py resize_sum_conv_relu_lowres)
+    head_lowres: bool = False
 
     def setup(self):
         self.conv = nn.Conv(
@@ -139,8 +142,24 @@ class ConvBNRelu(nn.Module):
     def __call__(self, x=None, train: bool = False, *, tasks=None,
                  out_hw=None):
         from diff_sal_tpu.ops.resize import (bilinear_resize_sum,
-                                             resize_sum_conv_relu)
+                                             resize_sum_conv_relu,
+                                             resize_sum_conv_relu_phase)
 
+        if (self.head_lowres and tasks is not None and not train
+                and not self.is_initializing()):
+            kernel = self.conv.variables["params"]["kernel"]
+            cbias = self.conv.variables["params"]["bias"]
+            scale = self.bn.variables["params"]["scale"]
+            bbias = self.bn.variables["params"]["bias"]
+            mean = self.bn.variables["batch_stats"]["mean"]
+            var = self.bn.variables["batch_stats"]["var"]
+            a = scale * jax.lax.rsqrt(var + 1e-5)
+            b = (cbias - mean) * a + bbias
+            dt = self.dtype or tasks[0].dtype
+            return resize_sum_conv_relu_phase(
+                [t.astype(dt) for t in tasks], out_hw,
+                (kernel * a).astype(dt), b.astype(jnp.float32),
+            )
         if (self.fused_head and tasks is not None and not train
                 and not self.is_initializing()):
             # eval: fold BN (running stats) + conv bias into one affine and

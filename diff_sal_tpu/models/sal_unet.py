@@ -647,9 +647,12 @@ class Decoder(nn.Module):
         # weights; the (th, tw, 768) accumulator never hits HBM); training
         # uses the single-pass bilinear_resize_sum + plain conv/BN
         # (ops/resize.py, docs/PERF.md round 3)
-        return ConvBNRelu(cfg.down_embed_dim, dtype=self.dtype, name="mt_proj")(
-            tasks=tasks, out_hw=(th, tw), train=train
-        )
+        return ConvBNRelu(
+            cfg.down_embed_dim,
+            dtype=self.dtype,
+            head_lowres=cfg.head_lowres,
+            name="mt_proj",
+        )(tasks=tasks, out_hw=(th, tw), train=train)
 
 
 class SalUNet(nn.Module):

@@ -463,3 +463,181 @@ def resize_sum_conv_relu(
         ),
         interpret=force_interpret or interpret,
     )(*xs, *ahs, *aws, k5, bias.reshape(1, O))
+
+
+# ---------------------------------------------------------------------------
+# Restructured decoder head: conv-at-low-res. conv3x3 and bilinear resize
+# are both linear, so relu(conv(sum_i resize(x_i)) + b) =
+# relu(sum_i sum_{dy,dx} S_dy A_h (x_i K[dy,dx]) A_w^T S_dx^T + b): the
+# 9-tap channel contraction runs at each task's LOW resolution (the tasks
+# sum to ~TH*TW/3 pixels -> ~3x fewer conv MACs than the full-res conv) and
+# the 3x3 shifts ride the resize matrices — row o of the dy-shifted row
+# matrix is row o+dy-1 of the bilinear matrix, with zero rows at the
+# borders reproducing the conv's 'same' zero padding exactly. The
+# (TH, TW, C) multi-scale accumulator never exists in HBM.
+# (reference sal_unet.py:482-491 + common_block.py:33-36; exact
+# linear-algebra rewrite up to float associativity.)
+# ---------------------------------------------------------------------------
+
+
+def resize_sum_conv_relu_lowres(
+    xs,  # list of (B, h_i, w_i, C)
+    out_hw: tuple,
+    kernel: jnp.ndarray,  # (3, 3, C, O) — any eval-time affine pre-folded
+    bias: jnp.ndarray,  # (O,)
+) -> jnp.ndarray:
+    """relu(conv3x3_same(sum_i bilinear_resize(x_i, out_hw)) + bias)."""
+    TH, TW = out_hw
+    C = xs[0].shape[-1]
+    O = kernel.shape[-1]
+    dt = xs[0].dtype
+    # (3dy, 3dx, C, O) -> (C, 3dy, 3dx, O) -> (C, 9O), dy-major columns so
+    # u[..., dy] below is a contiguous 3O slice
+    kf = jnp.asarray(kernel, dt).transpose(2, 0, 1, 3).reshape(C, 9 * O)
+    acc = None
+    for x in xs:
+        B, h, w, _ = x.shape
+        u = jnp.dot(
+            x.reshape(-1, C), kf, preferred_element_type=jnp.float32
+        ).astype(dt).reshape(B, h, w, 3, 3 * O)
+        ah = np.pad(_linear_weights(h, TH), ((1, 1), (0, 0)))
+        aw = np.pad(_linear_weights(w, TW), ((1, 1), (0, 0)))
+        v = None  # (B, TH, w, 3dx*O)
+        for dy in range(3):
+            a = jnp.asarray(ah[dy : dy + TH], dt)
+            t = jnp.einsum(
+                "oh,bhwk->bowk", a, u[:, :, :, dy],
+                preferred_element_type=jnp.float32,
+            )
+            v = t if v is None else v + t
+        v = v.astype(dt).reshape(B, TH, w, 3, O)
+        y = None
+        for dx in range(3):
+            a = jnp.asarray(aw[dx : dx + TW], dt)
+            t = jnp.einsum(
+                "pw,bowc->bopc", a, v[:, :, :, dx],
+                preferred_element_type=jnp.float32,
+            )
+            y = t if y is None else y + t
+        acc = y if acc is None else acc + y
+    return jnp.maximum(acc + bias.astype(jnp.float32), 0.0).astype(dt)
+
+
+def _phase_resize_head_kernel(*refs, n: int, ht: int, TH: int, TW: int,
+                              O: int):
+    import jax
+    from jax.experimental import pallas as pl
+
+    us = refs[:n]  # (1, h, w, 9*128): columns (dy, dx, O padded to 128)
+    ahs = refs[n : 2 * n]  # (3*TH, h) dy-shifted row matrices, stacked
+    aws = refs[2 * n : 3 * n]  # (3*TW, w) dx-shifted col matrices, stacked
+    b_ref, o_ref = refs[3 * n], refs[3 * n + 1]
+    i = pl.program_id(1)
+    dt = us[0].dtype
+
+    acc = None  # (TW, ht*128) f32
+    for u_ref, ah_ref, aw_ref in zip(us, ahs, aws):
+        xv = u_ref[0]  # (h, w, 1152)
+        h, w, _ = xv.shape
+        v = None
+        for dy in range(3):
+            a = ah_ref[pl.ds(dy * TH + i * ht, ht), :]  # (ht, h)
+            sl = xv[:, :, dy * 384 : (dy + 1) * 384].reshape(h, w * 384)
+            t = jnp.dot(a, sl, preferred_element_type=jnp.float32)
+            v = t if v is None else v + t
+        v = v.astype(dt).reshape(ht, w, 3, 128)
+        for dx in range(3):
+            vd = jnp.swapaxes(v[:, :, dx, :], 0, 1).reshape(w, ht * 128)
+            a = aw_ref[pl.ds(dx * TW, TW), :]  # (TW, w)
+            t2 = jnp.dot(a, vd, preferred_element_type=jnp.float32)
+            acc = t2 if acc is None else acc + t2
+    y = acc.reshape(TW, ht, 128) + b_ref[...].astype(jnp.float32)
+    y = jnp.maximum(y, 0.0)[:, :, :O]
+    o_ref[0] = jnp.swapaxes(y, 0, 1).astype(o_ref.dtype)
+
+
+def _shifted_resize_mats(in_size: int, TH: int) -> np.ndarray:
+    """(3*TH, in) stack of dy-shifted bilinear row matrices: row o of
+    block dy is row o+dy-1 of the resize matrix, zero rows at the borders
+    (== the 3x3 conv's 'same' zero padding)."""
+    a = np.pad(_linear_weights(in_size, TH), ((1, 1), (0, 0)))
+    return np.concatenate([a[dy : dy + TH] for dy in range(3)], axis=0)
+
+
+def resize_sum_conv_relu_phase(
+    xs,  # list of (B, h_i, w_i, C)
+    out_hw: tuple,
+    kernel: jnp.ndarray,  # (3, 3, C, O) — any eval-time affine pre-folded
+    bias: jnp.ndarray,  # (O,)
+    interpret: bool = None,
+) -> jnp.ndarray:
+    """relu(conv3x3_same(sum_i bilinear_resize(x_i, out_hw)) + bias) as
+    conv-at-low-res (see resize_sum_conv_relu_lowres) with the whole
+    9-phase shifted resize+sum+bias+relu in ONE Pallas kernel.
+
+    The per-task channel contraction x_i @ K (the only O(C) work) stays an
+    XLA dot at the task's LOW resolution; the kernel reads the 9-phase
+    low-res maps once (resident across the output-row grid) and the
+    (TH,TW,C) accumulator never exists in HBM. O <= 128; identical jnp
+    math (resize_sum_conv_relu_lowres) elsewhere."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    TH, TW = out_hw
+    B, _, _, C = xs[0].shape
+    O = kernel.shape[-1]
+    n = len(xs)
+    force_interpret = interpret == "force"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if (interpret and not force_interpret) or O > 128 or TH % 28:
+        return resize_sum_conv_relu_lowres(xs, out_hw, kernel, bias)
+
+    dt = xs[0].dtype
+    ht = 56 if TH % 56 == 0 else 28
+    # kf columns (dy, dx, O padded to 128): in-kernel dy/dx slices stay
+    # lane-tile aligned
+    kf = jnp.asarray(kernel, dt).transpose(2, 0, 1, 3)  # (C, 3, 3, O)
+    kf = jnp.pad(kf, ((0, 0), (0, 0), (0, 0), (0, 128 - O)))
+    kf = kf.reshape(C, 9 * 128)
+    us = [
+        jnp.dot(
+            x.reshape(-1, C), kf, preferred_element_type=jnp.float32
+        ).astype(dt).reshape(x.shape[0], x.shape[1], x.shape[2], 9 * 128)
+        for x in xs
+    ]
+    ahs = [jnp.asarray(_shifted_resize_mats(x.shape[1], TH), dt) for x in xs]
+    aws = [jnp.asarray(_shifted_resize_mats(x.shape[2], TW), dt) for x in xs]
+    shapes = [(x.shape[1], x.shape[2]) for x in xs]
+    bp = jnp.pad(bias.astype(jnp.float32), (0, 128 - O)).reshape(1, 128)
+
+    in_specs = (
+        [
+            pl.BlockSpec((1, h, w, 9 * 128), lambda b, i: (b, 0, 0, 0))
+            for (h, w) in shapes
+        ]
+        + [
+            pl.BlockSpec((3 * TH, h), lambda b, i: (0, 0))
+            for (h, w) in shapes
+        ]
+        + [
+            pl.BlockSpec((3 * TW, w), lambda b, i: (0, 0))
+            for (h, w) in shapes
+        ]
+        + [pl.BlockSpec((1, 128), lambda b, i: (0, 0))]
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _phase_resize_head_kernel, n=n, ht=ht, TH=TH, TW=TW, O=O
+        ),
+        grid=(B, TH // ht),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, ht, TW, O), lambda b, i: (b, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, TH, TW, O), dt),
+        compiler_params=(
+            None if force_interpret or interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+        ),
+        interpret=force_interpret or interpret,
+    )(*us, *ahs, *aws, bp)

@@ -348,6 +348,77 @@ def test_resize_sum_conv_relu_kernel():
     )
 
 
+def test_resize_sum_conv_relu_lowres():
+    """resize_sum_conv_relu_lowres (conv-at-low-res restructure of the
+    decoder head, ops/resize.py) equals the unfused chain — an exact
+    linear-algebra rewrite, so f32 agrees to float-associativity noise;
+    also checked at an out_hw where no task hits full resolution and with
+    a task ALREADY at full resolution (identity resize + pure shifts)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diff_sal_tpu.ops.resize import (bilinear_resize,
+                                         resize_sum_conv_relu_lowres)
+
+    key = jax.random.PRNGKey(3)
+    for shapes, out_hw in [
+        ([(2, 3), (4, 6), (8, 12), (16, 24)], (32, 48)),
+        ([(4, 6), (16, 24)], (16, 24)),
+    ]:
+        H, W = out_hw
+        C, O = 64, 32
+        xs = [
+            jax.random.normal(jax.random.fold_in(key, i), (2, h, w, C)) * 0.5
+            for i, (h, w) in enumerate(shapes)
+        ]
+        k = jax.random.normal(jax.random.fold_in(key, 9), (3, 3, C, O)) * 0.05
+        b = jax.random.normal(jax.random.fold_in(key, 10), (O,)) * 0.1
+
+        acc = sum(bilinear_resize(x, (H, W)) for x in xs)
+        want = jax.nn.relu(
+            jax.lax.conv_general_dilated(
+                acc, k, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b
+        )
+        got = resize_sum_conv_relu_lowres(xs, (H, W), k, b)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4
+        )
+
+
+def test_resize_sum_conv_relu_phase_kernel():
+    """resize_sum_conv_relu_phase (conv-at-low-res with the 9-phase shifted
+    resize+sum+bias+relu in one Pallas kernel) equals the unfused chain at
+    the flagship head geometry, Pallas interpret mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from diff_sal_tpu.ops.resize import (bilinear_resize,
+                                         resize_sum_conv_relu_phase)
+
+    key = jax.random.PRNGKey(5)
+    H, W, C, O = 112, 192, 128, 96
+    xs = [
+        jax.random.normal(jax.random.fold_in(key, i), (2, h, w, C)) * 0.5
+        for i, (h, w) in enumerate([(7, 12), (14, 24), (28, 48), (56, 96)])
+    ]
+    k = jax.random.normal(jax.random.fold_in(key, 9), (3, 3, C, O)) * 0.05
+    b = jax.random.normal(jax.random.fold_in(key, 10), (O,)) * 0.1
+
+    acc = sum(bilinear_resize(x, (H, W)) for x in xs)
+    want = jax.nn.relu(
+        jax.lax.conv_general_dilated(
+            acc, k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+    )
+    got = resize_sum_conv_relu_phase(xs, (H, W), k, b, interpret="force")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4
+    )
+
+
 @pytest.mark.parametrize(
     "R,C,H", [(48, 96, 384), (128, 192, 768), (100, 96, 384)]
 )
