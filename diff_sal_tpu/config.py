@@ -258,6 +258,18 @@ class MViTConfig:
         return cls(arch="tiny", num_layers=10, downscale_indices=(1, 3, 8), **kw)
 
     @classmethod
+    def dryrun(cls, **kw) -> "MViTConfig":
+        """Cold-compile-cheap profile for the multi-chip dryrun and fast
+        tests: 7 blocks with downscales at (1, 3, 5) — the SAME structural
+        kinds as the 16-block `small` plan (plain block before the first
+        downscale, three downscale blocks with dim/head doubling and the
+        persistent adaptive kv-stride halving, post-downscale plain blocks,
+        scale emits at blocks 0/2/4/6 feeding all four pyramid scales)
+        with less than half the attention/MLP graph to compile. Not a
+        training config — a structural proxy (VERDICT r4 item 1)."""
+        return cls(arch="dryrun", num_layers=7, downscale_indices=(1, 3, 5), **kw)
+
+    @classmethod
     def base(cls, **kw) -> "MViTConfig":
         return cls(arch="base", num_layers=24, downscale_indices=(2, 5, 21), **kw)
 
@@ -376,13 +388,22 @@ class SalUNetConfig:
     # training and the intermediates introspection hook use the einsum
     # path). Equality-tested vs the einsum path (tests/test_ops.py).
     fused_attn: bool = False
+    # TRAIN-path lever: compute the weight gradients of the decoder's
+    # stride-1 convs (mt_proj 3x3 768->96, the UpEmbed dilated pairs) as
+    # kh*kw shifted MXU dots instead of XLA's im2col weight-grad emitter
+    # (~8 ms/step of im2col fusions in the round-3 train xplane). Forward
+    # bits identical; weight grads equal up to float associativity
+    # (ops/convgrad.py, tests/test_ops.py).
+    conv_wg_dots: bool = False
     # restructured mt_proj head (EVAL only, BN running stats folded):
     # conv3x3 and bilinear resize are both linear, so the 9-tap channel
     # contraction runs at each task's LOW resolution (~3x fewer MACs —
     # the tasks sum to ~TH*TW/3 pixels) and the 3x3 shifts ride the
-    # resize matrices; the (TH,TW,768) accumulator never exists
-    # (ops/resize.py resize_sum_conv_relu_lowres). Exact rewrite up to
-    # float associativity, equality-tested (tests/test_ops.py).
+    # resize matrices; the (TH,TW,768) accumulator never exists. Lowers
+    # through ops/resize.py resize_sum_conv_relu_phase (Pallas), with
+    # resize_sum_conv_relu_lowres as its non-Pallas fallback. Exact
+    # rewrite up to float associativity, equality-tested
+    # (tests/test_ops.py).
     head_lowres: bool = False
 
 
