@@ -62,10 +62,11 @@ def main():
     fns = {"stock": jax.jit(stock), "lowres": jax.jit(lowres),
            "phase": jax.jit(phase)}
     outs = {n: f(xs, k, b) for n, f in fns.items()}
-    d = jnp.abs(outs["stock"].astype(jnp.float32)
-                - outs["lowres"].astype(jnp.float32))
-    print(f"max|D| {float(d.max()):.3e} (scale "
-          f"{float(jnp.abs(outs['stock'].astype(jnp.float32)).max()):.3f})")
+    scale = float(jnp.abs(outs["stock"].astype(jnp.float32)).max())
+    for other in ("lowres", "phase"):
+        d = jnp.abs(outs["stock"].astype(jnp.float32)
+                    - outs[other].astype(jnp.float32))
+        print(f"max|stock - {other}| {float(d.max()):.3e} (scale {scale:.3f})")
 
     acc = {n: [] for n in fns}
     for r in range(rounds):
