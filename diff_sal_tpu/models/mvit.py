@@ -349,7 +349,7 @@ class AttentionPool(nn.Module):
         if self.with_cls_token:
             cls, x = x[:, :, :1], x[:, :, 1:]
         x = x.reshape(B * H, T, Hh, Ww, C)
-        x = nn.Conv(
+        conv = nn.Conv(
             C,
             self.kernel,
             strides=self.stride,
@@ -359,7 +359,21 @@ class AttentionPool(nn.Module):
             kernel_init=vit_init,
             dtype=self.dtype,
             name="pool",
-        )(x)
+        )
+        if self.is_initializing():
+            x = conv(x)
+        else:
+            # same conv forward; tap-based grads off-TPU (ops/dwconv.py)
+            from diff_sal_tpu.ops.dwconv import depthwise_conv3d
+
+            kernel = conv.variables["params"]["kernel"]
+            dt = self.dtype or x.dtype
+            x = depthwise_conv3d(
+                x.astype(dt),
+                kernel.astype(dt),
+                self.stride,
+                [(k // 2, k // 2) for k in self.kernel],
+            )
         out_size = x.shape[1:4]
         x = x.reshape(B, H, -1, C)
         if cls is not None:
@@ -477,17 +491,21 @@ def _fused_depthwise_pool(
     output's (..., part, head, hd)-ordered channels — no pre-pool head
     transposes of the 43k-token tensors. Returns (B, T', H', W', n*heads*hd)
     and the output size."""
+    from diff_sal_tpu.ops.dwconv import depthwise_conv3d
+
     kern = jnp.concatenate(
         [jnp.tile(k, (1, 1, 1, 1, heads)) for k in kernels], axis=-1
     )
     ks = kernels[0].shape[:3]
-    out = jax.lax.conv_general_dilated(
+    # depthwise_conv3d = the same conv primitive forward; off-TPU it swaps
+    # the pathological XLA:CPU depthwise-grad lowerings (reduce-window
+    # weight-grad, base-dilated data-grad) for tap-based elementwise passes
+    # (ops/dwconv.py — found via the round-5 dryrun execution profile)
+    out = depthwise_conv3d(
         x.astype(dtype),
         kern.astype(dtype),
-        window_strides=stride,
-        padding=[(k // 2, k // 2) for k in ks],
-        dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
-        feature_group_count=x.shape[-1],
+        stride,
+        [(k // 2, k // 2) for k in ks],
     )
     return out, out.shape[1:4]
 

@@ -34,8 +34,14 @@ def load(path: str):
 def main():
     xs = load(sys.argv[1] if len(sys.argv) > 1 else "/tmp/jaxtrace")
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    # device planes: TPU planes normally; fall back to host-CPU device
+    # planes (virtual-mesh runs) when no TPU plane exists
+    names = [p.name for p in xs.planes]
+    want = [n for n in names if "TPU" in n]
+    if not want:
+        want = [n for n in names if "/device:CPU" in n or "Host Threads" in n]
     for plane in xs.planes:
-        if "TPU" not in plane.name:
+        if plane.name not in want:
             continue
         em = plane.event_metadata
         for line in plane.lines:
