@@ -380,7 +380,10 @@ class SalUNetConfig:
     # B=8), max|Δ| 0.0039 on the final saliency map; end-to-end
     # CC/SIM/NSS deltas vs the torch reference measured in
     # tests/test_reference_parity.py::test_shipping_defaults_parity_bound
-    # (docs/PERF.md round 4)
+    # (docs/PERF.md round 4). Sized for the shipping batch: at B=2/B=4 the
+    # 9f->5f token cut deepens MXU padding waste and measured SLOWER
+    # (BENCH r3->r4 sweep, docs/PERF.md round 5) — small-batch serving
+    # should set this False.
     skip_dead_frames_all: bool = True
     # fused Pallas CvT cross-attention (ops/attention.py
     # cvt_cross_attention): k/v (18 tokens) resident in VMEM, q streamed in
@@ -403,7 +406,8 @@ class SalUNetConfig:
     # through ops/resize.py resize_sum_conv_relu_phase (Pallas), with
     # resize_sum_conv_relu_lowres as its non-Pallas fallback. Exact
     # rewrite up to float associativity, equality-tested
-    # (tests/test_ops.py).
+    # (tests/test_ops.py). Measured 0.978x e2e at B=8 (docs/PERF.md
+    # round 5) — the micro win does not survive in-pipeline; default OFF.
     head_lowres: bool = False
 
 

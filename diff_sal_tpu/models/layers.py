@@ -129,6 +129,9 @@ class ConvBNRelu(nn.Module):
     # eval-only conv-at-low-res restructure (SalUNetConfig.head_lowres,
     # ops/resize.py resize_sum_conv_relu_lowres)
     head_lowres: bool = False
+    # weight-grad-as-dots conv (SalUNetConfig.conv_wg_dots,
+    # ops/convgrad.py) — forward bits identical, train-path lever
+    wg_dots: bool = False
 
     def setup(self):
         self.conv = nn.Conv(
@@ -179,7 +182,17 @@ class ConvBNRelu(nn.Module):
             )
         if tasks is not None:
             x = bilinear_resize_sum(tasks, out_hw)
-        x = self.conv(x)
+        if self.wg_dots and not self.is_initializing():
+            from diff_sal_tpu.ops.convgrad import conv2d_wg_dots
+
+            kernel = self.conv.variables["params"]["kernel"]
+            cbias = self.conv.variables["params"]["bias"]
+            dt = self.dtype or x.dtype
+            x = conv2d_wg_dots(
+                x.astype(dt), kernel.astype(dt), (1, 1), (1, 1)
+            ) + cbias.astype(dt)
+        else:
+            x = self.conv(x)
         x = self.bn(x, use_running_average=not train)
         return nn.relu(x)
 

@@ -463,6 +463,9 @@ class UpEmbed(nn.Module):
     patch_size: int = 3
     dilation: int = 2
     phase: bool = False
+    # weight-grad-as-dots convs (SalUNetConfig.conv_wg_dots,
+    # ops/convgrad.py) — forward bits identical, train-path lever
+    wg_dots: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -477,7 +480,7 @@ class UpEmbed(nn.Module):
             frames = bilinear_resize(frames, (H * 2, W * 2))
             pad, dil = self.dilation, self.dilation
         for i in range(2):
-            frames = nn.Conv(
+            conv = nn.Conv(
                 self.embed_dim,
                 (self.patch_size, self.patch_size),
                 padding=pad,
@@ -486,7 +489,18 @@ class UpEmbed(nn.Module):
                 kernel_init=salunet_init,
                 dtype=self.dtype,
                 name=f"conv{i}",
-            )(frames)
+            )
+            if self.wg_dots and not self.is_initializing():
+                from diff_sal_tpu.ops.convgrad import conv2d_wg_dots
+
+                kernel = conv.variables["params"]["kernel"]
+                dt = self.dtype or frames.dtype
+                frames = conv2d_wg_dots(
+                    frames.astype(dt), kernel.astype(dt),
+                    (pad, pad), (dil, dil),
+                )
+            else:
+                frames = conv(frames)
             frames = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, name=f"bn{i}",
@@ -535,6 +549,7 @@ class TransformerStage(nn.Module):
     stride_kv: int
     has_patch_embed: bool
     upembed_phase: bool = False
+    conv_wg_dots: bool = False
     fused_tail: bool = False
     pool_reduce: bool = False
     fused_attn: bool = False
@@ -554,7 +569,8 @@ class TransformerStage(nn.Module):
     ) -> jnp.ndarray:
         if self.has_patch_embed:
             x = UpEmbed(
-                self.embed_dim, phase=self.upembed_phase, dtype=self.dtype,
+                self.embed_dim, phase=self.upembed_phase,
+                wg_dots=self.conv_wg_dots, dtype=self.dtype,
                 name="patch_embed",
             )(x, train=train)
             # Reference adds backbone skips for stage 1 and 2 only
@@ -616,6 +632,7 @@ class Decoder(nn.Module):
                 stride_kv=cfg.stride_kv[i],
                 has_patch_embed=cfg.patch_size[i] > 0,
                 upembed_phase=cfg.upembed_phase,
+                conv_wg_dots=cfg.conv_wg_dots,
                 fused_tail=cfg.fused_tail,
                 pool_reduce=cfg.pool_reduce,
                 fused_attn=cfg.fused_attn,
@@ -651,6 +668,7 @@ class Decoder(nn.Module):
             cfg.down_embed_dim,
             dtype=self.dtype,
             head_lowres=cfg.head_lowres,
+            wg_dots=cfg.conv_wg_dots,
             name="mt_proj",
         )(tasks=tasks, out_hw=(th, tw), train=train)
 

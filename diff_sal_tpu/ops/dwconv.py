@@ -69,6 +69,9 @@ def _dw_fwd(x, kern, stride, padding):
 
 def _dw_bwd(stride, padding, res, g):
     x, kern = res
+    # accumulate at >= f32 but never BELOW the input precision (an f64
+    # trace must get an f64 backward — tests/test_mvit.py fuse_kv f64)
+    acc = jnp.promote_types(x.dtype, jnp.float32)
     N = x.shape[0]
     C = x.shape[-1]
     ks = kern.shape[:3]  # (kt, kh, kw)
@@ -80,7 +83,7 @@ def _dw_bwd(stride, padding, res, g):
         x,
         ((0, 0), *[(p[0], p[1]) for p in padding], (0, 0)),
     )
-    gf = g.astype(jnp.float32)
+    gf = g.astype(acc)
     dk_taps = []
     for a in range(ks[0]):
         for b in range(ks[1]):
@@ -98,7 +101,7 @@ def _dw_bwd(stride, padding, res, g):
                     (1, *stride, 1),
                 )
                 dk_taps.append(
-                    jnp.sum(xs.astype(jnp.float32) * gf, axis=(0, 1, 2, 3))
+                    jnp.sum(xs.astype(acc) * gf, axis=(0, 1, 2, 3))
                 )
     dk = jnp.stack(dk_taps).reshape(*ks, 1, C).astype(kern.dtype)
 
@@ -119,17 +122,17 @@ def _dw_bwd(stride, padding, res, g):
     pshape = tuple(
         i + p[0] + p[1] for i, p in zip(ispatial, padding)
     )
-    dxp = jnp.zeros((N, *pshape, C), jnp.float32)
+    dxp = jnp.zeros((N, *pshape, C), acc)
     for a in range(ks[0]):
         for b in range(ks[1]):
             for c in range(ks[2]):
                 tap = (
-                    gd.astype(jnp.float32)
-                    * kern[a, b, c, 0].astype(jnp.float32)
+                    gd.astype(acc)
+                    * kern[a, b, c, 0].astype(acc)
                 )
                 dxp = dxp + lax.pad(
                     tap,
-                    jnp.zeros((), jnp.float32),
+                    jnp.zeros((), acc),
                     (
                         (0, 0, 0),
                         (a, pshape[0] - a - glen[0], 0),

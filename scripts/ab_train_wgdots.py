@@ -1,0 +1,120 @@
+"""Within-process A/B of conv_wg_dots (dot-reformulated decoder conv
+weight-grads, ops/convgrad.py) on the full AV TRAIN step — targets the
+~8 ms/step of im2col weight-grad fusions from the round-3 train xplane
+(VERDICT r4 item 4).
+
+    python scripts/ab_train_wgdots.py [B] [iters] [rounds]
+
+A = shipping defaults (XLA conv weight-grads);
+B = SalUNetConfig.conv_wg_dots=True (mt_proj 3x3 + UpEmbed dilated pairs
+compute dK as shifted MXU dots). Same param tree, forward bits identical;
+weight grads equal to float associativity (tests/test_sal_unet.py).
+Interleaved rounds with per-round host syncs (docs/PERF.md measurement
+integrity). Loss equality is asserted exactly (forward unchanged).
+"""
+
+import dataclasses
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+from diff_sal_tpu.config import audio_visual_experiment
+from diff_sal_tpu.diffusion.schedule import make_schedule
+from diff_sal_tpu.models.diff_model import VideoSaliencyModel
+from diff_sal_tpu.train.optim import make_optimizer
+from diff_sal_tpu.train.train_step import create_train_state, make_train_step
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 15
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+
+    cfg = audio_visual_experiment()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, compute_dtype="bfloat16")
+    )
+    cfg_b = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            decoder=dataclasses.replace(cfg.model.decoder,
+                                        conv_wg_dots=True),
+        ),
+    )
+    model_a = VideoSaliencyModel(cfg.model)
+    model_b = VideoSaliencyModel(cfg_b.model)
+    schedule = make_schedule("cosine", num_diffusion_timesteps=1000)
+    key = jax.random.PRNGKey(0)
+    batches = [
+        {
+            "rgb": jax.random.normal(
+                jax.random.fold_in(key, i), (B, 16, 224, 384, 3)
+            ) * 0.3,
+            "salmap": jax.random.uniform(
+                jax.random.fold_in(key, 100 + i), (B, 224, 384, 1)
+            ),
+            "audio": jax.random.normal(
+                jax.random.fold_in(key, 300 + i), (B, 9, 112, 192, 1)
+            ),
+        }
+        for i in range(4)
+    ]
+    init_data = {
+        "rgb": batches[0]["rgb"][:1],
+        "input": jnp.zeros((1, 224, 384, 1)),
+        "audio": batches[0]["audio"][:1],
+    }
+    variables = jax.jit(model_a.init)(
+        jax.random.PRNGKey(1), init_data, jnp.zeros((1,))
+    )
+    tx = make_optimizer(cfg.optim, steps_per_epoch=1000, n_epochs=3)
+    # ONE shared state for both variants (HBM: see ab_train_attnbwd.py)
+    state = create_train_state(model_a, variables, tx)
+    del variables, init_data
+    keys = [jax.random.PRNGKey(i) for i in range(max(iters, 3))]
+
+    step_a = jax.jit(make_train_step(model_a, schedule, cfg))
+    step_b = jax.jit(make_train_step(model_b, schedule, cfg_b))
+    la = float(step_a(state, batches[0], keys[2])[1]["total"])
+    lb = float(step_b(state, batches[0], keys[2])[1]["total"])
+    print(f"first-step loss A {la:.6f}  B {lb:.6f}")
+    assert la == lb, (la, lb)  # forward is the identical conv primitive
+
+    def run(step):
+        t0 = time.perf_counter()
+        m = None
+        for i in range(iters):
+            new_state, m = step(state, batches[i % 4], keys[i])
+            del new_state
+        v = float(m["total"])
+        assert v == v and v > 0
+        return (time.perf_counter() - t0) / iters * 1000
+
+    res = {"A": [], "B": []}
+    for r in range(rounds):
+        res["A"].append(run(step_a))
+        res["B"].append(run(step_b))
+        print(
+            f"round {r}: A {res['A'][-1]:.1f} ms/step   "
+            f"B {res['B'][-1]:.1f} ms/step"
+        )
+    ma = sorted(res["A"])[rounds // 2]
+    mb = sorted(res["B"])[rounds // 2]
+    print(
+        f"median A (xla conv wg) {ma:.1f} ms/step\n"
+        f"median B (wg dots) {mb:.1f} ms/step\n"
+        f"speedup {ma / mb:.3f}x"
+    )
+
+
+if __name__ == "__main__":
+    main()

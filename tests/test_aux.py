@@ -1,6 +1,7 @@
 """Auxiliary subsystems: EMA, alternative audio features, offline metric
 driver, logging utilities, checkpoint partial-load."""
 
+import pytest
 import os
 
 import jax
@@ -110,6 +111,7 @@ def test_offline_evaluator_roundtrip(tmp_path):
     assert os.path.exists(str(tmp_path / "preds") + "_metrics.csv")
 
 
+@pytest.mark.slow
 def test_dpm_solver_in_pipeline_small_model():
     """DPM-Solver wired through sample_saliency on a tiny model."""
     import dataclasses
@@ -149,6 +151,7 @@ def test_dpm_solver_in_pipeline_small_model():
     assert np.isfinite(o).all() and o.min() >= 0 and o.max() <= 1
 
 
+@pytest.mark.slow
 def test_ema_in_train_state():
     """Optional EMA wired through the train step (reference ships a dead EMA
     helper; ours is functional behind training.ema)."""

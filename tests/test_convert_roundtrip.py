@@ -34,6 +34,7 @@ def _to_plain(tree):
     return np.asarray(tree)
 
 
+@pytest.mark.slow
 def test_mvit_converter_roundtrip():
     cfg = MViTConfig.small(spatial_size=(64, 64))
     m = MViT(cfg)
@@ -44,6 +45,7 @@ def test_mvit_converter_roundtrip():
     _trees_equal(params, back)
 
 
+@pytest.mark.slow
 def test_salunet_converter_roundtrip():
     cfg = SalUNetConfig()
     m = SalUNet(cfg)

@@ -4,6 +4,7 @@ MViT -> SalUNet -> DDIM(NFE=1) -> inverse transform -> eval scores.
 Runs at a reduced 64x96 resolution on the CPU backend; the full-resolution
 path is exercised by the benchmark and graft entry."""
 
+import pytest
 import dataclasses
 
 import jax
@@ -64,6 +65,7 @@ def test_e2e_visual_ddim_nfe1():
     assert np.isfinite(float(scores["total"]))
 
 
+@pytest.mark.slow
 def test_e2e_forward_train_path():
     """Full training forward (model(data, t)) with loss — mirrors the train
     step body."""
@@ -85,6 +87,7 @@ def test_e2e_forward_train_path():
     assert "batch_stats" in mutated
 
 
+@pytest.mark.slow
 def test_decoder_only_random_pyramid_fallback():
     """visual=None substitutes a random feature pyramid at the MViT shapes
     (reference diff_model.py:100-109, decoder-only ablation)."""

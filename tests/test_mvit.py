@@ -5,6 +5,7 @@ tests; here we verify the static plan matches the reference architecture
 derivation exactly and run a reduced-size forward.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -112,6 +113,7 @@ def test_patch_embed_modes_equal():
         np.testing.assert_array_equal(np.asarray(o_ep), np.asarray(o_fold))
 
 
+@pytest.mark.slow
 def test_cls_stream_matches_token_path():
     """The round-3 cls-stream layout (separate cls stream, 128-padded head
     dim, v2 attention) computes the SAME function as the token-concat path
@@ -182,6 +184,7 @@ def test_lane_pad_matches_unpadded():
         )
 
 
+@pytest.mark.slow
 def test_tokens3d_matches_5d_stream():
     """tokens3d (flat (B,L,C) inter-block stream, 5D only at pool convs)
     computes the SAME function with the SAME param tree as the 5D
@@ -245,6 +248,7 @@ def test_fold_proj_matches_standalone_proj():
         )
 
 
+@pytest.mark.slow
 def test_cls_stream_pallas_kernel_matches_reference_path():
     """cls_stream + use_pallas (v2 kernel, interpret on CPU) equals the
     cls_stream XLA-einsum path."""
@@ -268,6 +272,7 @@ def test_cls_stream_pallas_kernel_matches_reference_path():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
+@pytest.mark.slow
 def test_pallas_pool_matches_conv_pool():
     """pool_mode='pallas' (native-layout stencil, ops/pool.py) equals the
     XLA depthwise-conv pools through the full tiny MViT, fwd AND grads.
@@ -326,6 +331,7 @@ def test_pallas_pool_matches_conv_pool():
         )
 
 
+@pytest.mark.slow
 def test_fuse_kv_exact_f64():
     """fuse_kv (pool-through-projection: spatial k/v as one dense strided
     conv with kernel p (x) W_kv, MViTConfig.fuse_kv) is mathematically

@@ -335,3 +335,115 @@ def test_skip_dead_frames_all_close():
     assert d < 0.05 * max(s, 1.0), (d, s)
     cc = np.corrcoef(y0.ravel(), y1.ravel())[0, 1]
     assert cc > 0.999, cc
+
+
+def test_conv_bn_relu_head_lowres_matches_stock():
+    """ConvBNRelu(head_lowres=True) at eval — the BN running-stats fold +
+    conv-at-low-res lowering (models/layers.py) — matches the stock
+    resize_sum + conv + BN(running stats) + relu path on random params AND
+    random batch_stats. The ops-level functions are equality-tested in
+    tests/test_ops.py; this covers the module's folding arithmetic
+    (ADVICE r4)."""
+    import flax
+
+    from diff_sal_tpu.models.layers import ConvBNRelu
+
+    rng = np.random.RandomState(11)
+    C, O = 64, 32
+    out_hw = (16, 24)
+    tasks = [
+        jnp.asarray(rng.randn(2, h, w, C).astype(np.float32)) * 0.5
+        for (h, w) in [(2, 3), (4, 6), (8, 12), (16, 24)]
+    ]
+    m0 = ConvBNRelu(features=O)
+    m1 = ConvBNRelu(features=O, head_lowres=True)
+    v = flax.core.unfreeze(
+        m0.init(jax.random.PRNGKey(0), tasks=tasks, out_hw=out_hw)
+    )
+    # randomize every parameter and the running stats so the eval-time
+    # fold (a = scale*rsqrt(var+eps), b = (cbias-mean)*a + bbias) is
+    # actually exercised off the init defaults (scale=1, mean=0, var=1)
+    v = jax.tree.map(
+        lambda x: jnp.asarray(rng.randn(*x.shape).astype(np.float32)) * 0.2,
+        v,
+    )
+    v["batch_stats"]["bn"]["var"] = (
+        jnp.abs(v["batch_stats"]["bn"]["var"]) + 0.5
+    )
+    y0 = m0.apply(v, tasks=tasks, out_hw=out_hw, train=False)
+    y1 = m1.apply(v, tasks=tasks, out_hw=out_hw, train=False)
+    assert y0.shape == (2, *out_hw, O)
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(y0), atol=2e-4
+    )
+
+
+def test_conv_wg_dots_module_grads_match():
+    """SalUNetConfig.conv_wg_dots: UpEmbed and ConvBNRelu with the
+    dot-reformulated weight-grad produce the SAME forward values and the
+    SAME parameter gradients (float-associativity tolerance) as the stock
+    nn.Conv path, with an identical param tree (ops/convgrad.py)."""
+    from diff_sal_tpu.models.layers import ConvBNRelu
+    from diff_sal_tpu.models.sal_unet import UpEmbed
+
+    rng = np.random.RandomState(3)
+
+    # --- UpEmbed (dilated 3x3 pair, no bias) ---
+    x = jnp.asarray(rng.randn(1, 2, 8, 12, 16).astype(np.float32)) * 0.5
+    m0 = UpEmbed(embed_dim=16)
+    m1 = UpEmbed(embed_dim=16, wg_dots=True)
+    v = m0.init(jax.random.PRNGKey(0), x, train=True)
+    assert jax.tree_util.tree_structure(
+        m1.init(jax.random.PRNGKey(0), x, train=True)
+    ) == jax.tree_util.tree_structure(v)
+
+    def loss(m):
+        def f(params):
+            y, _ = m.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(y**2)
+
+        return f
+
+    y0 = m0.apply(v, x)
+    y1 = m1.apply(v, x)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    g0 = jax.grad(loss(m0))(v["params"])
+    g1 = jax.grad(loss(m1))(v["params"])
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4, rtol=1e-4
+        )
+
+    # --- ConvBNRelu (3x3 pad-1 with bias, tasks path) ---
+    tasks = [
+        jnp.asarray(rng.randn(2, h, w, 16).astype(np.float32)) * 0.5
+        for (h, w) in [(4, 6), (8, 12)]
+    ]
+    c0 = ConvBNRelu(features=8)
+    c1 = ConvBNRelu(features=8, wg_dots=True)
+    vc = c0.init(jax.random.PRNGKey(1), tasks=tasks, out_hw=(8, 12))
+
+    def closs(m):
+        def f(params):
+            y, _ = m.apply(
+                {"params": params, "batch_stats": vc["batch_stats"]},
+                tasks=tasks, out_hw=(8, 12), train=True,
+                mutable=["batch_stats"],
+            )
+            return jnp.sum(y**2)
+
+        return f
+
+    np.testing.assert_array_equal(
+        np.asarray(c0.apply(vc, tasks=tasks, out_hw=(8, 12))),
+        np.asarray(c1.apply(vc, tasks=tasks, out_hw=(8, 12))),
+    )
+    gc0 = jax.grad(closs(c0))(vc["params"])
+    gc1 = jax.grad(closs(c1))(vc["params"])
+    for a, b in zip(jax.tree.leaves(gc0), jax.tree.leaves(gc1)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4, rtol=1e-4
+        )
