@@ -233,6 +233,7 @@ def test_packed_dataset_roundtrip(tmp_path):
     np.testing.assert_allclose(dev, host, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_packed_uint8_through_model(tmp_path):
     """encode_visual normalizes uint8 input on device: same pyramid as
     pre-normalized float input."""

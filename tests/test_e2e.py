@@ -33,6 +33,7 @@ def small_visual_model(hw=(64, 96)):
     )
 
 
+@pytest.mark.slow
 def test_e2e_visual_ddim_nfe1():
     cfg = small_visual_model()
     model = VideoSaliencyModel(cfg)

@@ -6,6 +6,7 @@ Regenerate (only when a deliberate numerical change is made):
     python tests/test_golden.py regen
 """
 
+import pytest
 import os
 
 import jax
@@ -73,10 +74,12 @@ def _check(name, fn):
     np.testing.assert_allclose(got, want, atol=5e-5, err_msg=name)
 
 
+@pytest.mark.slow
 def test_golden_salunet():
     _check("salunet", _salunet_output)
 
 
+@pytest.mark.slow
 def test_golden_mvit():
     _check("mvit", _mvit_outputs)
 

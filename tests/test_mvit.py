@@ -53,6 +53,7 @@ def test_small_block_plan_matches_reference_architecture():
     assert rel[15] == (15, 13)
 
 
+@pytest.mark.slow
 def test_mvit_tiny_input_pyramid():
     # Reduced spatial size for CPU test speed: 64x64 input -> grids 16x16.
     cfg = MViTConfig.small(spatial_size=(64, 64), rel_pos_spatial_size=224)
@@ -68,6 +69,7 @@ def test_mvit_tiny_input_pyramid():
     ]
 
 
+@pytest.mark.slow
 def test_mvit_param_count_plausible():
     # MViTv2-small video backbone is ~34M params (Kinetics model zoo).
     cfg = MViTConfig.small(spatial_size=(64, 64))
@@ -151,6 +153,7 @@ def test_cls_stream_matches_token_path():
         )
 
 
+@pytest.mark.slow
 def test_lane_pad_matches_unpadded():
     """lane_pad (96->128 finest-scale stream padding, round-3 lever 2)
     computes the SAME function with the SAME param tree as the unpadded
@@ -217,6 +220,7 @@ def test_tokens3d_matches_5d_stream():
         )
 
 
+@pytest.mark.slow
 def test_fold_proj_matches_standalone_proj():
     """fold_proj (skip projection columns riding the qkv dot) computes the
     SAME function with the SAME param tree as the standalone proj dot."""
@@ -406,6 +410,7 @@ def test_fuse_kv_exact_f64():
         jax.config.update("jax_enable_x64", False)
 
 
+@pytest.mark.slow
 def test_fuse_kv_matches_pool_path():
     """fuse_kv through the full tiny MViT with the SAME param tree: f32
     integration check. Exactness is proven by test_fuse_kv_exact_f64;
@@ -509,6 +514,7 @@ def test_phase_max_pool_matches_window():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow
 def test_qkv_conv_matches_dot():
     """MViTConfig(qkv_conv=True) — qkv projection emitted as a 1x1x1 conv —
     is bit-exact vs the flat dot path on CPU (same params, same outputs)."""

@@ -95,6 +95,7 @@ def test_rel_coords_symmetry():
     assert c[0, 7] == 0 and c[7, 0] == 14 and c[3, 3] == 7
 
 
+@pytest.mark.slow
 def test_fused_layernorm_matches_flax():
     """ops/layernorm.py vs nn.LayerNorm: values, dtypes and grads (the CPU
     path is plain jnp; the kernel itself runs on TPU only)."""
@@ -348,6 +349,7 @@ def test_resize_sum_conv_relu_kernel():
     )
 
 
+@pytest.mark.slow
 def test_resize_sum_conv_relu_lowres():
     """resize_sum_conv_relu_lowres (conv-at-low-res restructure of the
     decoder head, ops/resize.py) equals the unfused chain — an exact
@@ -422,6 +424,7 @@ def test_resize_sum_conv_relu_phase_kernel():
 @pytest.mark.parametrize(
     "R,C,H", [(48, 96, 384), (128, 192, 768), (100, 96, 384)]
 )
+@pytest.mark.slow
 def test_fused_block_tail_kernel(R, C, H):
     """fused_block_tail (add + LN + fc1 -> GELU -> fc2 + add, ops/mlp.py)
     equals the reference composition in Pallas interpret mode, forward and
@@ -473,6 +476,7 @@ def test_fused_block_tail_kernel(R, C, H):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_tail_mvit_param_tree_and_fallback():
     """MViTConfig(fused_tail=True) declares the identical param tree as the
     unfused model, and on CPU (reference fallback) produces identical

@@ -149,6 +149,7 @@ def test_packed_exhaustive_matches_host(av_tree, packed_root):
     assert packed[5]["gt_index"] == host[5]["gt_index"]
 
 
+@pytest.mark.slow
 def test_train_and_eval_step_with_wave_batch(av_tree, packed_root):
     """The jitted steps consume 'wave' directly: log-mel runs on device."""
     import dataclasses

@@ -92,6 +92,7 @@ def test_fused_attention_grad_matches():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
+@pytest.mark.slow
 def test_mvit_pallas_path_matches_xla_path():
     """Integrated check: MViT with use_pallas_attention on (interpret mode on
     CPU) matches the XLA path with identical params."""

@@ -63,6 +63,7 @@ def test_quantize_like_rejects_mismatch():
 
 
 @pytest.mark.parametrize("mode", ["w8", "w8a8"])
+@pytest.mark.slow
 def test_mvit_mlp_quant_forward(mode):
     """MViT with mlp_quant consumes a quantize_like tree; the forward stays
     within int8 tolerance of fp on the same weights."""

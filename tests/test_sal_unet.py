@@ -43,6 +43,7 @@ def test_timestep_embedding_matches_ddpm_convention():
     np.testing.assert_allclose(emb[1, 48], np.cos(1.0), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_noise_encoder_pyramid_shapes():
     m = NoiseEncoder()
     x = jnp.zeros((2, 224, 384, 1))
@@ -104,6 +105,7 @@ def test_cvt_attention_introspection_sow():
     )
 
 
+@pytest.mark.slow
 def test_transformer_block_with_audio():
     m = TransformerBlock(num_heads=2, kernel_kv=4, stride_kv=4)
     x = jnp.zeros((1, 9, 14, 24, 64))
@@ -113,6 +115,7 @@ def test_transformer_block_with_audio():
     assert out.shape == x.shape
 
 
+@pytest.mark.slow
 def test_salunet_visual_only_full_shape():
     cfg = SalUNetConfig()
     m = SalUNet(cfg)
@@ -126,6 +129,7 @@ def test_salunet_visual_only_full_shape():
     assert (o > 0).all() and (o < 1).all()  # sigmoid head
 
 
+@pytest.mark.slow
 def test_salunet_audio_visual_full_shape():
     cfg = SalUNetConfig()
     m = SalUNet(cfg)
@@ -138,6 +142,7 @@ def test_salunet_audio_visual_full_shape():
     assert out.shape == (1, 224, 384, 1)
 
 
+@pytest.mark.slow
 def test_salunet_train_mode_mutates_batch_stats():
     cfg = SalUNetConfig()
     m = SalUNet(cfg)
@@ -159,6 +164,7 @@ def test_salunet_train_mode_mutates_batch_stats():
     assert "batch_stats" in mutated
 
 
+@pytest.mark.slow
 def test_salunet_jit_compiles_once():
     cfg = SalUNetConfig()
     m = SalUNet(cfg)
@@ -277,6 +283,7 @@ def test_cvt_pool_reduce_matches_conv():
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_skip_dead_frames_exact():
     """skip_dead_frames: the full SalUNet output is identical — the last
     stage's frames 5-8 never reach ReduceTemp (5-of-9 quirk,
@@ -306,6 +313,7 @@ def test_skip_dead_frames_exact():
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_skip_dead_frames_all_close():
     """skip_dead_frames_all cuts frames 5-8 at EVERY stage. All decoder
     compute is frame-local except the av gate's time-mean, so the output
@@ -378,6 +386,7 @@ def test_conv_bn_relu_head_lowres_matches_stock():
     )
 
 
+@pytest.mark.slow
 def test_conv_wg_dots_module_grads_match():
     """SalUNetConfig.conv_wg_dots: UpEmbed and ConvBNRelu with the
     dot-reformulated weight-grad produce the SAME forward values and the

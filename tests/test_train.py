@@ -1,6 +1,7 @@
 """Training-step tests: loss decreases when overfitting one batch (tiny
 model), optimizer schedule semantics, frozen-VGGish gradient contract."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,9 +22,11 @@ from diff_sal_tpu.train.train_step import (
 
 
 def tiny_experiment(hw=(64, 96)):
+    # dryrun plan + temporal 8: same structural kinds as the full plan at
+    # a fraction of the compile cost (fast-tier budget, VERDICT r4 item 6)
     return ExperimentConfig(
         model=ModelConfig(
-            visual=MViTConfig.tiny(spatial_size=hw),
+            visual=MViTConfig.dryrun(spatial_size=hw, temporal_size=8),
             decoder=SalUNetConfig(img_size=hw),
         )
     )
@@ -37,6 +40,7 @@ def test_multistep_lr_boundaries():
     np.testing.assert_allclose(float(sched(300)), 1e-6, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_overfit_one_batch_loss_decreases():
     import dataclasses
 
@@ -52,11 +56,11 @@ def test_overfit_one_batch_loss_decreases():
     )
     rng = jax.random.PRNGKey(0)
     B, hw = 2, (64, 96)
-    rgb = jax.random.normal(rng, (B, 16, *hw, 3)) * 0.1
+    rgb = jax.random.normal(rng, (B, 8, *hw, 3)) * 0.1
     salmap = jax.random.uniform(jax.random.PRNGKey(1), (B, *hw, 1))
     batch = {"rgb": rgb, "salmap": salmap}
 
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(2),
         {"rgb": rgb, "input": jnp.zeros((B, *hw, 1))},
         jnp.zeros((B,)),
@@ -79,6 +83,7 @@ def test_overfit_one_batch_loss_decreases():
     assert float(metrics["grad_norm"]) > 0.0
 
 
+@pytest.mark.slow
 def test_frozen_vggish_receives_no_gradient():
     from diff_sal_tpu.config import AudioAttnConfig, VGGishConfig
 
@@ -89,7 +94,7 @@ def test_frozen_vggish_receives_no_gradient():
     hw = (128, 96)
     cfg = ExperimentConfig(
         model=ModelConfig(
-            visual=MViTConfig.tiny(spatial_size=hw),
+            visual=MViTConfig.dryrun(spatial_size=hw, temporal_size=8),
             audio=VGGishConfig(),
             spatiotemp=AudioAttnConfig(),
             decoder=SalUNetConfig(img_size=hw),
@@ -100,12 +105,12 @@ def test_frozen_vggish_receives_no_gradient():
     B = 1
     # nonzero inputs: exact zeros kill the audio-branch gradient (q=0 at the
     # cross-attention) and make LayerNorm backward pathological
-    rgb = jax.random.normal(jax.random.PRNGKey(10), (B, 16, *hw, 3)) * 0.3
+    rgb = jax.random.normal(jax.random.PRNGKey(10), (B, 8, *hw, 3)) * 0.3
     # audio spatial must be 16x the coarsest video grid (4,3) at this size
     audio = jax.random.normal(jax.random.PRNGKey(11), (B, 9, 64, 48, 1)) * 0.3
     salmap = jax.random.uniform(jax.random.PRNGKey(12), (B, *hw, 1))
     batch = {"rgb": rgb, "salmap": salmap, "audio": audio}
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         {"rgb": rgb, "input": jnp.zeros((B, *hw, 1)), "audio": audio},
         jnp.zeros((B,)),

@@ -70,6 +70,7 @@ def test_fit_eval_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_warm_start_partial(tmp_path):
     cfg = tiny_cfg()
     ds = SyntheticVisualDataset(n=2, img_size=HW, frames=16)
