@@ -385,6 +385,16 @@ class SalUNetConfig:
     # (BENCH r3->r4 sweep, docs/PERF.md round 5) — small-batch serving
     # should set this False.
     skip_dead_frames_all: bool = True
+    # TRAIN-path extension of skip_dead_frames_all: apply the every-stage
+    # dead-frame cut inside the training graph too (requires
+    # skip_dead_frames_all=True). APPROXIMATE in the same way as the eval
+    # cut — forward AND gradients differ only through the stage-1..3 av
+    # gates' time-means (5 surviving frames instead of 9); everything
+    # else in the decoder is frame-local, so the cut frames contribute
+    # exactly zero gradient in the full graph as well. Gated on the
+    # overfit-equivalence study (scripts/ab_train_sdf.py --overfit;
+    # docs/PERF.md round 5) per VERDICT r4 item 4.
+    skip_dead_frames_train: bool = False
     # fused Pallas CvT cross-attention (ops/attention.py
     # cvt_cross_attention): k/v (18 tokens) resident in VMEM, q streamed in
     # row tiles, scores/softmax never hit HBM. Eval path only (no vjp;

@@ -641,7 +641,10 @@ class Decoder(nn.Module):
                     if cfg.skip_dead_frames
                     and (
                         i == n - 1
-                        or (cfg.skip_dead_frames_all and not train)
+                        or (
+                            cfg.skip_dead_frames_all
+                            and (not train or cfg.skip_dead_frames_train)
+                        )
                     )
                     else None
                 ),

@@ -393,9 +393,18 @@ def _expansion_cat(k_shape: Tuple[int, int, int], lk: int, lk_pad: int,
     return E, mask
 
 
-def _pick_q_tile(lq: int, lk_pad: int, budget_bytes: int = 10 * 1024 * 1024):
+# scratch budget for the (q_tile, lk_pad) f32 score/exp temporaries.
+# 10 MB was tuned round 2; scripts/micro_attn.py sweeps it per shape
+# (VMEM is 128 MB on v5e — the cap trades per-step overhead amortization
+# against double-buffer headroom for the streamed q/rel/out tiles).
+_QTILE_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def _pick_q_tile(lq: int, lk_pad: int, budget_bytes: int = None):
     """Largest q tile with ~3 f32 (tile, lk_pad) temporaries under budget,
     preferring 128-multiples that DIVIDE lq (no pad, no ragged tail)."""
+    if budget_bytes is None:
+        budget_bytes = _QTILE_BUDGET_BYTES
     cap = max(budget_bytes // (3 * lk_pad * 4), 128)
     best = 0
     for t in range(128, min(cap, lq) + 1, 128):

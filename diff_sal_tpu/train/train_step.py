@@ -104,7 +104,12 @@ def make_train_step(
             data = {"rgb": batch["rgb"], "input": x_noisy}
             if audio is not None:
                 data["audio"] = audio
-            pred, mutated = state.apply_fn(
+            # NOTE: must be the model passed to make_train_step, NOT
+            # state.apply_fn — A/B harnesses share one TrainState across
+            # two model variants (ab_train_sdf.py, ab_train_wgdots.py),
+            # and state.apply_fn silently pins both to the state's model
+            # (round-5 bug: the B side measured the A graph, docs/PERF.md)
+            pred, mutated = model.apply(
                 variables,
                 data,
                 t.astype(jnp.float32),

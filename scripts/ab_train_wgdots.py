@@ -87,7 +87,12 @@ def main():
     la = float(step_a(state, batches[0], keys[2])[1]["total"])
     lb = float(step_b(state, batches[0], keys[2])[1]["total"])
     print(f"first-step loss A {la:.6f}  B {lb:.6f}")
-    assert la == lb, (la, lb)  # forward is the identical conv primitive
+    # forward uses the identical conv primitive, but wrapping it in a
+    # custom_vjp changes XLA's fusion choices under grad — bf16 rounding
+    # differs at the ~1e-6 level (measured 1.1e-6 rel; the original
+    # bit-equality assert only ever "passed" against the A-vs-A harness
+    # bug, docs/PERF.md round 5)
+    assert abs(la - lb) <= 1e-5 * abs(la), (la, lb)
 
     def run(step):
         t0 = time.perf_counter()

@@ -345,6 +345,49 @@ def test_skip_dead_frames_all_close():
     assert cc > 0.999, cc
 
 
+@pytest.mark.slow
+def test_skip_dead_frames_train_close():
+    """skip_dead_frames_train extends the every-stage dead-frame cut into
+    the TRAINING graph. Same approximation argument as the eval cut: the
+    output (and hence loss/grads) differs only through the stage-1..3 av
+    gates' time-means — assert the same param tree and a small bounded
+    train-mode output delta. The learning-equivalence gate is the overfit
+    study (scripts/ab_train_sdf.py --overfit, docs/PERF.md round 5)."""
+    import dataclasses
+
+    # zero the stochastic regularizers so the only train-mode delta is the
+    # gate means (DropPath/Dropout masks are shape-dependent and would
+    # otherwise differ between the 9f and 5f graphs by construction)
+    cfg0 = dataclasses.replace(
+        SalUNetConfig(),
+        skip_dead_frames_train=False,
+        drop_path_rate=(0.0, 0.0, 0.0, 0.0),
+        dropout=0.0,
+    )
+    cfg1 = dataclasses.replace(cfg0, skip_dead_frames_train=True)
+    m0, m1 = SalUNet(cfg0), SalUNet(cfg1)
+    rng = np.random.RandomState(7)
+    feats = _vis_pyramid(B=1, T=8)
+    audio = jnp.asarray(rng.randn(1, 9, 7, 12, 512).astype(np.float32))
+    x_t = jnp.asarray(rng.randn(1, 224, 384, 1).astype(np.float32))
+    t = jnp.asarray([3.0])
+    v0 = m0.init(jax.random.PRNGKey(0), x_t, t, feats, audio)
+    v1 = m1.init(jax.random.PRNGKey(0), x_t, t, feats, audio)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(
+        v1
+    )
+    kw = dict(mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)})
+    y0, _ = m0.apply(v0, x_t, t, feats, audio, True, **kw)
+    y1, _ = m1.apply(v0, x_t, t, feats, audio, True, **kw)
+    y0, y1 = np.asarray(y0), np.asarray(y1)
+    d = np.abs(y1 - y0).max()
+    s = np.abs(y0).max()
+    assert d > 0  # the gate path really changed
+    assert d < 0.05 * max(s, 1.0), (d, s)
+    cc = np.corrcoef(y0.ravel(), y1.ravel())[0, 1]
+    assert cc > 0.999, cc
+
+
 def test_conv_bn_relu_head_lowres_matches_stock():
     """ConvBNRelu(head_lowres=True) at eval — the BN running-stats fold +
     conv-at-low-res lowering (models/layers.py) — matches the stock
