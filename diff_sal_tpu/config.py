@@ -239,7 +239,9 @@ class MViTConfig:
     # phase at B=8 (docs/PERF.md round 3) — reduce-window wins, default
     # stays window.
     skip_pool: str = "window"
-    # stem lowering: conv | patches | s2d | s2d_staged (see PatchEmbed3D)
+    # stem lowering: conv | patches | s2d | s2d_staged | s2d_perm | s2d_nd
+    # | wfold (see PatchEmbed3D; s2d_perm = two-transpose blockify with
+    # lane-friendly intermediates, round 5)
     stem_mode: str = "s2d_staged"
     # s2d stems: fold the window-alignment pad into the block-space conv's
     # own padding instead of materializing a padded copy of the input
@@ -391,10 +393,15 @@ class SalUNetConfig:
     # cut — forward AND gradients differ only through the stage-1..3 av
     # gates' time-means (5 surviving frames instead of 9); everything
     # else in the decoder is frame-local, so the cut frames contribute
-    # exactly zero gradient in the full graph as well. Gated on the
-    # overfit-equivalence study (scripts/ab_train_sdf.py --overfit;
-    # docs/PERF.md round 5) per VERDICT r4 item 4.
-    skip_dead_frames_train: bool = False
+    # exactly zero gradient in the full graph as well. Measured 1.069x on
+    # the B=4 bf16 train step (209.8 -> 196.2, 5/5 rounds); the overfit-
+    # equivalence gate PASSED (scripts/ab_train_sdf.py --overfit, 300
+    # steps on the synthetic AV set: loss curves track within ~0.1%
+    # throughout, final eval A total=4.7154 vs B 4.7477 — B no worse on
+    # every metric; docs/PERF.md round 5) per VERDICT r4 item 4 —
+    # default ON. NOTE: the torch reference trains the full-frame graph;
+    # set False for bit-faithful reference training dynamics.
+    skip_dead_frames_train: bool = True
     # fused Pallas CvT cross-attention (ops/attention.py
     # cvt_cross_attention): k/v (18 tokens) resident in VMEM, q streamed in
     # row tiles, scores/softmax never hit HBM. Eval path only (no vjp;

@@ -103,6 +103,8 @@ class _PatchProjection(nn.Module):
             return self._s2d(x, kernel, bias, dt)
         if self.mode == "s2d_staged":
             return self._s2d(x, kernel, bias, dt, staged=True)
+        if self.mode == "s2d_perm":
+            return self._s2d(x, kernel, bias, dt, staged="perm")
         if self.mode == "s2d_nd":
             return self._s2d_nd(x, kernel, bias, dt)
         if self.mode == "wfold":
@@ -116,11 +118,12 @@ class _PatchProjection(nn.Module):
         )
         return out + bias.astype(dt)
 
-    def _s2d(self, x, kernel, bias, dt, staged: bool = False):
+    def _s2d(self, x, kernel, bias, dt, staged=False):
         """Space-to-depth lowering. Requires kernel <= 2*stride - 1 and
         padding == kernel // 2 per axis (true for the (3,7,7)/(2,4,4)/(1,3,3)
         stem), and input dims divisible by the stride.
 
+        staged: False | True | "perm" selects the blockify strategy.
         staged=False blockifies with one 8-D transpose; staged=True walks
         W -> H -> T with per-axis reshapes/transposes whose inner blocks
         grow (3 -> 12 -> 48 lanes) — the 8-D transpose's inner block is a
@@ -151,7 +154,28 @@ class _PatchProjection(nn.Module):
         T, H, W = xp.shape[1:4]
         st, sh, sw = strides
         bt, bh, bw = T // st, H // sh, W // sw
-        if staged:
+        if staged == "perm":
+            # two-transpose blockify with lane-friendly intermediates
+            # (round-5; the staged walk's H/T hops write 48-lane
+            # intermediates — tile-padded 48->128 — and its W gather has
+            # 12-element inner runs; see docs/PERF.md round-4 roofline).
+            # Stage 1 moves st inward with CONTIGUOUS (W*c)-sized runs and
+            # a full-lane (st*W*c) output — no tile padding at all:
+            #   (B,bt,st,H,W*c) -> (B,bt,H,st*W*c)
+            xs = xp.reshape(B, bt, st, H, W * in_c)
+            xs = jnp.transpose(xs, (0, 1, 3, 2, 4)).reshape(
+                B, bt, H, st * W * in_c
+            )
+            # Stage 2 is the one unavoidable lane->sublane gather (inner
+            # runs of sw*c): split lanes (st, bw, sw*c) and rows (bh, sh),
+            # emit straight into the FINAL (st, sh, sw, c) channel order —
+            # one fragmented hop instead of staged's two:
+            #   (B,bt,bh,sh,st,bw,sw*c) -> (B,bt,bh,bw,st*sh*sw*c)
+            xs = xs.reshape(B, bt, bh, sh, st, bw, sw * in_c)
+            x_s2d = jnp.transpose(xs, (0, 1, 2, 5, 4, 3, 6)).reshape(
+                B, bt, bh, bw, st * sh * sw * in_c
+            )
+        elif staged:
             # W: (B,T,H,W,c) -> (B,T,H,bw,sw*c)   pure trailing reshape
             xs = xp.reshape(B, T, H, bw, sw * in_c)
             # H: split then swap the (sh, bw) pair

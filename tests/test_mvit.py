@@ -91,6 +91,7 @@ def test_patch_embed_modes_equal():
     m_stg = PatchEmbed3D(32, mode="s2d_staged")
     m_nd = PatchEmbed3D(32, mode="s2d_nd")
     m_wf = PatchEmbed3D(32, mode="wfold")
+    m_pm = PatchEmbed3D(32, mode="s2d_perm")
     # explicit-pad variants (stem_fold_pad=False) must agree too
     m_s2d_ep = PatchEmbed3D(32, mode="s2d", fold_pad=False)
     m_stg_ep = PatchEmbed3D(32, mode="s2d_staged", fold_pad=False)
@@ -101,7 +102,10 @@ def test_patch_embed_modes_equal():
     o_stg, s_stg = m_stg.apply(v, x)
     o_nd, s_nd = m_nd.apply(v, x)
     o_wf, s_wf = m_wf.apply(v, x)
+    o_pm, s_pm = m_pm.apply(v, x)
     assert s_conv == s_pat == s_s2d == s_stg == s_nd == s_wf == (4, 8, 12)
+    assert s_pm == (4, 8, 12)
+    np.testing.assert_array_equal(np.asarray(o_pm), np.asarray(o_stg))
     np.testing.assert_allclose(np.asarray(o_pat), np.asarray(o_conv), atol=2e-5)
     np.testing.assert_allclose(np.asarray(o_s2d), np.asarray(o_conv), atol=2e-5)
     np.testing.assert_allclose(np.asarray(o_stg), np.asarray(o_conv), atol=2e-5)

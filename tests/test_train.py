@@ -84,6 +84,54 @@ def test_overfit_one_batch_loss_decreases():
 
 
 @pytest.mark.slow
+def test_train_step_binds_its_own_model():
+    """Regression (round-5 harness bug): make_train_step must run the
+    model it was GIVEN, not state.apply_fn — shared-state A/B harnesses
+    create the TrainState from variant A, and the old state.apply_fn call
+    silently ran the A graph for both sides (docs/PERF.md round 5).
+    Build two models that differ only in activation math (identical param
+    tree, guaranteed-different outputs — the dead-frame flags are exact
+    no-ops on the tiny temporal-8 plan) and assert the two steps disagree
+    on the loss."""
+    import dataclasses
+
+    cfg_a = tiny_experiment()
+    cfg_b = dataclasses.replace(
+        cfg_a,
+        model=dataclasses.replace(
+            cfg_a.model,
+            visual=dataclasses.replace(cfg_a.model.visual, gelu="exact"),
+        ),
+    )
+    model_a = VideoSaliencyModel(cfg_a.model)
+    model_b = VideoSaliencyModel(cfg_b.model)
+    schedule = make_schedule("cosine", num_diffusion_timesteps=100)
+    B, hw = 1, (64, 96)
+    rgb = jax.random.normal(jax.random.PRNGKey(0), (B, 8, *hw, 3)) * 0.1
+    batch = {"rgb": rgb,
+             "salmap": jax.random.uniform(jax.random.PRNGKey(1), (B, *hw, 1))}
+    variables = jax.jit(model_a.init)(
+        jax.random.PRNGKey(2),
+        {"rgb": rgb, "input": jnp.zeros((B, *hw, 1))},
+        jnp.zeros((B,)),
+    )
+    tx = make_optimizer(tiny_experiment().optim, steps_per_epoch=10,
+                        n_epochs=3)
+    state = create_train_state(model_a, variables, tx)  # A's apply_fn
+    la = float(
+        make_train_step(model_a, schedule, cfg_a)(
+            state, batch, jax.random.PRNGKey(3)
+        )[1]["total"]
+    )
+    lb = float(
+        make_train_step(model_b, schedule, cfg_b)(
+            state, batch, jax.random.PRNGKey(3)
+        )[1]["total"]
+    )
+    assert la != lb, (la, lb)
+
+
+@pytest.mark.slow
 def test_frozen_vggish_receives_no_gradient():
     from diff_sal_tpu.config import AudioAttnConfig, VGGishConfig
 
